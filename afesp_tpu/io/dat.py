@@ -1,0 +1,178 @@
+"""Integral / geometry file readers.
+
+Reads the five text files the reference consumes (integrals.f90:48-165,
+geometry.f90:8-50): `s.dat`, `t.dat`, `v.dat` (one-electron, `i j value`
+sparse lower-triangular lines), `eri.dat` (`i j k l value` canonical
+8-fold-symmetric quadruples) and `geom.dat` (natoms; then charge x y z
+per atom, coordinates in bohr).
+
+Design departure from the reference: the packed triangular-of-triangular
+ERI store (integrals.f90:10-45, `eri_ind`) is treated purely as an
+*interchange format*.  In HBM we keep the dense chemist-notation tensor
+(ij|kl) — at the reference's scale (<=100 basis functions) that is <1 GB
+and turns every downstream contraction into an MXU-friendly einsum.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class System:
+    """Basic system information (system.f90:10-18, geometry.f90:38-46)."""
+
+    natoms: int = 0
+    nel: int = 0
+    nbasis: int = 0
+    nocc: int = 0
+    nvirt: int = 0
+    charges: np.ndarray | None = None
+    coords: np.ndarray | None = None  # (natoms, 3), bohr
+
+
+@dataclasses.dataclass
+class IntStore:
+    """AO integral store (integrals.f90:24-34), dense in HBM."""
+
+    e_nuc: float = 0.0
+    ovlp: np.ndarray | None = None
+    ke: np.ndarray | None = None
+    ele_nuc: np.ndarray | None = None
+    core_hamil: np.ndarray | None = None
+    eri: np.ndarray | None = None  # dense (n,n,n,n) chemist (ij|kl)
+
+
+def _parse_numeric_table(path: Path, ncols: int) -> np.ndarray:
+    """Fast whitespace-table parser (np.loadtxt is too slow at ~1e6 lines)."""
+    text = path.read_text()
+    arr = np.array(text.split(), dtype=np.float64)
+    if arr.size % ncols != 0:
+        raise ValueError(f"{path}: expected {ncols} columns")
+    return arr.reshape(-1, ncols)
+
+
+def read_dat_matrix(path: str | Path, nbasis: int | None = None) -> np.ndarray:
+    """Read a symmetric matrix from `i j value` lines (integrals.f90:100-140)."""
+    path = Path(path)
+    tab = _parse_numeric_table(path, 3)
+    i = tab[:, 0].astype(np.int64) - 1
+    j = tab[:, 1].astype(np.int64) - 1
+    if nbasis is None:
+        nbasis = int(max(i.max(), j.max())) + 1
+    mat = np.zeros((nbasis, nbasis))
+    mat[i, j] = tab[:, 2]
+    mat[j, i] = tab[:, 2]
+    return mat
+
+
+def read_eri_dense(path: str | Path, nbasis: int) -> np.ndarray:
+    """Read `eri.dat` and scatter into the dense (n,n,n,n) chemist tensor,
+    applying the full 8-fold permutational symmetry
+    (ij|kl)=(ji|kl)=(ij|lk)=(ji|lk)=(kl|ij)=(lk|ij)=(kl|ji)=(lk|ji).
+    Replaces the packed `eri_ind` store (integrals.f90:146-210).
+    """
+    tab = _parse_numeric_table(Path(path), 5)
+    i, j, k, l = (tab[:, c].astype(np.int64) - 1 for c in range(4))
+    v = tab[:, 4]
+    eri = np.zeros((nbasis,) * 4)
+    for a, b, c, d in (
+        (i, j, k, l),
+        (j, i, k, l),
+        (i, j, l, k),
+        (j, i, l, k),
+        (k, l, i, j),
+        (l, k, i, j),
+        (k, l, j, i),
+        (l, k, j, i),
+    ):
+        eri[a, b, c, d] = v
+    return eri
+
+
+def read_geometry(path: str | Path) -> tuple[int, np.ndarray, np.ndarray]:
+    """Read `geom.dat`: natoms, charges, coords (bohr). geometry.f90:8-36."""
+    lines = Path(path).read_text().split("\n")
+    natoms = int(lines[0].split()[0])
+    charges = np.zeros(natoms, dtype=np.int64)
+    coords = np.zeros((natoms, 3))
+    for a in range(natoms):
+        parts = lines[1 + a].split()
+        charges[a] = int(float(parts[0]))
+        coords[a] = [float(x) for x in parts[1:4]]
+    return natoms, charges, coords
+
+
+def nuclear_repulsion(charges: np.ndarray, coords: np.ndarray) -> float:
+    """E_nuc = sum_{i<j} Z_i Z_j / r_ij (geometry.f90:74-95)."""
+    e = 0.0
+    n = len(charges)
+    for j in range(1, n):
+        for i in range(j):
+            r = np.linalg.norm(coords[i] - coords[j])
+            e += charges[i] * charges[j] / r
+    return float(e)
+
+
+def read_integrals(
+    directory: str | Path, restricted: bool, require_eri: bool = True
+) -> tuple[System, IntStore]:
+    """Read all input files from a run directory, mirroring the pipeline
+    read_integrals_in (integrals.f90:48-165) + read_geometry_in
+    (geometry.f90:8-50) including the occupied/virtual bookkeeping:
+    restricted: nocc=nel/2, nvirt=nbasis-nocc; spin-orbital: nocc=nel,
+    nvirt=(nbasis-nocc/2)*2 (geometry.f90:40-46).
+    """
+    d = Path(directory)
+    sys_ = System()
+    ints = IntStore()
+
+    ints.ovlp = read_dat_matrix(d / "s.dat")
+    sys_.nbasis = ints.ovlp.shape[0]
+    ints.ke = read_dat_matrix(d / "t.dat", sys_.nbasis)
+    ints.ele_nuc = read_dat_matrix(d / "v.dat", sys_.nbasis)
+    ints.core_hamil = ints.ke + ints.ele_nuc
+    if require_eri or (d / "eri.dat").exists():
+        ints.eri = read_eri_dense(d / "eri.dat", sys_.nbasis)
+
+    sys_.natoms, sys_.charges, sys_.coords = read_geometry(d / "geom.dat")
+    sys_.nel = int(sys_.charges.sum())
+    if restricted:
+        sys_.nocc = sys_.nel // 2
+        sys_.nvirt = sys_.nbasis - sys_.nocc
+    else:
+        sys_.nocc = sys_.nel
+        sys_.nvirt = (sys_.nbasis - sys_.nocc // 2) * 2
+    ints.e_nuc = nuclear_repulsion(sys_.charges, sys_.coords)
+    return sys_, ints
+
+
+def read_scf_guess(path: str | Path, nbasis: int) -> np.ndarray:
+    """Read a previous AO Fock matrix, `guess_in.dat` (hf.f90:153-170)."""
+    tab = _parse_numeric_table(Path(path), 3)
+    i = tab[:, 0].astype(np.int64) - 1
+    j = tab[:, 1].astype(np.int64) - 1
+    mat = np.zeros((nbasis, nbasis))
+    mat[i, j] = tab[:, 2]
+    return mat
+
+
+def _fortran_es16_9(x: float) -> str:
+    """Fortran ES16.9: sign + d.dddddddddE±ee right-justified in 16 chars."""
+    return f"{x:16.9E}"
+
+
+def write_scf_guess(path: str | Path, ao_fock: np.ndarray) -> None:
+    """Write the converged AO Fock matrix, `guess_out.dat` (hf.f90:172-191).
+
+    Format '(I0, 1X, I0, 1X, ES16.9)' — byte-compatible with the reference
+    so binding-curve guess chaining (els_wrapper.py:92-98) keeps working.
+    """
+    n = ao_fock.shape[0]
+    with open(path, "w") as f:
+        for i in range(n):
+            for j in range(n):
+                f.write(f"{i+1} {j+1} {_fortran_es16_9(ao_fock[i, j])}\n")

@@ -1,0 +1,70 @@
+"""I/O layer golden tests against the els.out headers in sample_data."""
+
+import numpy as np
+import pytest
+
+from afesp_tpu.config import CalcType, parse_els_in, read_els_in
+from afesp_tpu.io import dat
+
+
+def test_parse_els_in_n2(sample_data):
+    cfg = read_els_in(sample_data / "n2-cc-pvdz/2.00_0.00")
+    assert cfg.calc_type is CalcType.CCSD_T
+    assert cfg.restricted
+    assert cfg.ccsd_t_paren and cfg.ccsd_t_comp_renorm and not cfg.ccsd_t_renorm
+    assert cfg.scf_e_tol == 1e-6
+    assert cfg.scf_d_tol == 1e-7
+    assert cfg.scf_diis_n_errmat == 6
+    assert cfg.ccsd_diis_n_errmat == 8
+    assert cfg.scf_maxiter == 150
+    assert cfg.ccsd_maxiter == 200
+    assert cfg.scf_read_guess and cfg.scf_write_guess and not cfg.write_fcidump
+
+
+def test_parse_defaults():
+    cfg = parse_els_in('&elsinput\ncalc_type="RHF"\n/\n')
+    assert cfg.calc_type is CalcType.HARTREE_FOCK
+    assert cfg.restricted
+    assert cfg.scf_maxiter == 50 and cfg.ccsd_diis_n_errmat == 8
+
+
+def test_read_integrals_n2(sample_data):
+    sys_, ints = dat.read_integrals(sample_data / "n2-cc-pvdz/2.00_0.00", True)
+    # Header values from els.out
+    assert sys_.nbasis == 28
+    assert sys_.nel == 14
+    assert sys_.nocc == 7
+    assert sys_.nvirt == 21
+    assert abs(ints.e_nuc - 1.29648417e01) < 5e-7  # E_nuc: 1.29648417E+01
+    assert abs(ints.e_nuc - 12.9648416614) < 1e-9  # breakdown line
+    # Symmetries of the dense ERI
+    eri = ints.eri
+    assert np.allclose(eri, eri.transpose(1, 0, 2, 3))
+    assert np.allclose(eri, eri.transpose(2, 3, 0, 1))
+    assert np.allclose(eri, eri.transpose(0, 1, 3, 2))
+    # Overlap diagonal is 1
+    assert np.allclose(np.diag(ints.ovlp), 1.0)
+
+
+def test_read_integrals_spinorb_bookkeeping(sample_data):
+    sys_, _ = dat.read_integrals(
+        sample_data / "h2o-cc-pvtz/2.00_104.45", False, require_eri=False
+    )
+    # els_cpu.out header: 58 bf, 10 el, nocc=10, nvirt=106 (spin-orbital)
+    assert sys_.nbasis == 58
+    assert sys_.nocc == 10
+    assert sys_.nvirt == 106
+
+
+def test_guess_roundtrip(tmp_path, sample_data):
+    src = sample_data / "n2-cc-pvdz/2.00_0.00/guess_in.dat"
+    mat = dat.read_scf_guess(src, 28)
+    out = tmp_path / "guess_out.dat"
+    dat.write_scf_guess(out, mat)
+    # Byte-compatible round trip (format ES16.9, hf.f90:185)
+    mat2 = dat.read_scf_guess(out, 28)
+    assert np.array_equal(mat, mat2)
+    # Spot-check first line formatting parity with the reference file
+    ref_first = src.read_text().split("\n")[0]
+    new_first = out.read_text().split("\n")[0]
+    assert ref_first == new_first
