@@ -1,0 +1,321 @@
+"""Spin-free (spatial-orbital) CCSD — Piecuch et al., CPC 149 (2002) 71-96.
+
+Re-implements do_ccsd_spatial (ccsd.f90:279-402) as a single jitted
+einsum program per iteration.  The equations are transcribed from the
+reference's *debug twin* routines, which its author verified against the
+optimised BLAS path ("All no change", ccsd.f90:1532):
+
+  - intermediates:  update_restricted_intermediates_debug (ccsd.f90:1314-1458)
+  - amplitudes:     update_amplitudes_restricted_debug   (ccsd.f90:1460-1536)
+  - energy/conv:    update_cc_energy                     (ccsd.f90:1734-1810)
+
+Tensor layouts keep the Fortran index orders exactly (I_vovv_p[c,i,a,b],
+I_voov[b,j,i,a], ...) so each einsum line can be checked term-by-term
+against the reference.  The reshape/dgemm choreography of the optimised
+Fortran path (components 5-7 of SURVEY.md) is *absent by design*: XLA
+fuses and tiles these contractions onto the MXU automatically.
+
+DIIS follows ccsd.f90:38-67: error vectors e_i = T_i - T'_{i-1} where
+T'_{i-1} is the previous *extrapolated* amplitude set (snapshot taken at
+the top of each iteration, ccsd.f90:340-344).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..io import dat
+from ..io.report import Reporter
+from ..ops.linalg import Diis
+from .hf import HFResult
+
+
+class Slices(NamedTuple):
+    """Physicist-notation MO ERI slices (ccsd.f90:493-514).
+
+    v_pqrs = <pq|rs> = (pr|qs); o = occupied, v = virtual blocks.
+    """
+
+    v_oovv: jnp.ndarray  # (o,o,v,v)
+    v_ovov: jnp.ndarray  # (o,v,o,v)
+    v_vvov: jnp.ndarray  # (v,v,o,v)
+    v_oovo: jnp.ndarray  # (o,o,v,o)
+    v_oooo: jnp.ndarray  # (o,o,o,o)
+    v_vvvv: jnp.ndarray  # (v,v,v,v)
+
+
+@dataclasses.dataclass
+class CCSDResult:
+    e_ccsd: float
+    t1: np.ndarray  # (o,v)
+    t2: np.ndarray  # (o,o,v,v)
+    t1_diagnostic: float
+    converged: bool
+    iterations: int
+    slices: Slices
+    # Pre-update amplitudes of the final iteration: build_cr_ccsd_t_intermediates
+    # (ccsd.f90:2338-2551) consumes I_vo and asym_t2 computed from these
+    # ("stale" relative to the converged t1/t2 — reproduced deliberately).
+    t1_prev: np.ndarray | None = None
+    t2_prev: np.ndarray | None = None
+
+
+def make_slices(eri_mo: jnp.ndarray, nocc: int) -> Slices:
+    """Chemist (pq|rs) -> physicist <pq|rs> slices (ccsd.f90:493-514)."""
+    phys = jnp.transpose(eri_mo, (0, 2, 1, 3))  # <pq|rs> = (pr|qs)
+    o = slice(None, nocc)
+    v = slice(nocc, None)
+    return Slices(
+        v_oovv=phys[o, o, v, v],
+        v_ovov=phys[o, v, o, v],
+        v_vvov=phys[v, v, o, v],
+        v_oovo=phys[o, o, v, o],
+        v_oooo=phys[o, o, o, o],
+        v_vvvv=phys[v, v, v, v],
+    )
+
+
+def denominators(levels: jnp.ndarray, nocc: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """D_ia = e_i - e_a;  D_ijab = e_i + e_j - e_a - e_b (ccsd.f90:435-445)."""
+    e_o = levels[:nocc]
+    e_v = levels[nocc:]
+    D_ia = e_o[:, None] - e_v[None, :]
+    D_ijab = (
+        e_o[:, None, None, None]
+        + e_o[None, :, None, None]
+        - e_v[None, None, :, None]
+        - e_v[None, None, None, :]
+    )
+    return D_ia, D_ijab
+
+
+def _intermediates(t1, t2, v: Slices):
+    """Piecuch Table-1 intermediates (debug twin, ccsd.f90:1334-1454)."""
+    es = partial(jnp.einsum, optimize=True)
+
+    asym_t2 = 2.0 * t2 - jnp.transpose(t2, (1, 0, 2, 3))
+    c_oovv = t2 + es("ia,jb->ijab", t1, t1)
+
+    # I_ai = (2 v_oovv[m,i,e,a] - v_oovv[m,i,a,e]) t1[m,e]        (ccsd.f90:1336)
+    I_vo = 2.0 * es("miea,me->ai", v.v_oovv, t1) - es("miae,me->ai", v.v_oovv, t1)
+
+    # I_ba (ccsd.f90:1352-1353)
+    I_vv = (
+        2.0 * es("ebma,me->ba", v.v_vvov, t1)
+        - es("bema,me->ba", v.v_vvov, t1)
+        - 2.0 * es("mneb,mnea->ba", v.v_oovv, c_oovv)
+        + es("mnbe,mnea->ba", v.v_oovv, c_oovv)
+    )
+
+    # I_ji' (ccsd.f90:1359)
+    I_oo_p = (
+        2.0 * es("miej,me->ji", v.v_oovo, t1)
+        - es("imej,me->ji", v.v_oovo, t1)
+        + es("mief,mjef->ji", v.v_oovv, asym_t2)
+    )
+
+    # I_ji = I_ji' + I_ei t1[j,e] (ccsd.f90:1365)
+    I_oo = I_oo_p + es("ei,je->ji", I_vo, t1)
+
+    # I_klij (ccsd.f90:1375-1376)
+    I_oooo = (
+        v.v_oooo
+        + es("ijef,klef->klij", v.v_oovv, c_oovv)
+        + es("ke,ijel->klij", t1, v.v_oovo)
+        + es("le,jiek->klij", t1, v.v_oovo)
+    )
+
+    # I_ciab' (ccsd.f90:1388)
+    I_vovv_p = (
+        jnp.transpose(v.v_vvov, (3, 2, 1, 0))  # v_vvov[b,a,i,c] -> [c,i,a,b]
+        - es("maic,mb->ciab", v.v_ovov, t1)
+        - es("ma,micb->ciab", t1, v.v_oovv)
+    )
+
+    # I_jbia (ccsd.f90:1400-1401)
+    I_ovov = (
+        v.v_ovov
+        - 0.5 * es("imeb,jmea->jbia", v.v_oovv, c_oovv)
+        - es("mibj,ma->jbia", v.v_oovo, t1)
+        + es("ebia,je->jbia", v.v_vvov, t1)
+    )
+
+    # I_bjia (ccsd.f90:1413-1414)
+    I_voov = (
+        jnp.transpose(v.v_oovv, (2, 1, 0, 3))  # v_oovv[i,j,b,a] -> [b,j,i,a]
+        + es("imbe,mjea->bjia", v.v_oovv, t2)
+        - 0.5 * es("imeb,mjea->bjia", v.v_oovv, t2)
+        - 0.5 * es("mieb,mjae->bjia", v.v_oovv, c_oovv)
+        + es("beia,je->bjia", v.v_vvov, t1)
+        - es("imbj,ma->bjia", v.v_oovo, t1)
+    )
+
+    # x_bjia = v_vvov[b,e,i,a] t1[j,e] (ccsd.f90:1426)
+    x_voov = es("beia,je->bjia", v.v_vvov, t1)
+
+    # I_jkia' (ccsd.f90:1438)
+    I_ooov_p = (
+        jnp.transpose(v.v_oovo, (1, 0, 3, 2))  # v_oovo[k,j,a,i] -> [j,k,i,a]
+        + es("efia,jkef->jkia", v.v_vvov, t2)
+        + es("je,ekia->jkia", t1, x_voov)
+    )
+
+    return dict(
+        asym_t2=asym_t2,
+        c_oovv=c_oovv,
+        I_vo=I_vo,
+        I_vv=I_vv,
+        I_oo_p=I_oo_p,
+        I_oo=I_oo,
+        I_oooo=I_oooo,
+        I_vovv_p=I_vovv_p,
+        I_ovov=I_ovov,
+        I_voov=I_voov,
+        x_voov=x_voov,
+        I_ooov_p=I_ooov_p,
+    )
+
+
+@jax.jit
+def ccsd_iteration(t1, t2, v: Slices, D_ia, D_ijab):
+    """One T1/T2 update, Piecuch Eqs. 43-44 (debug twin ccsd.f90:1487-1530)."""
+    es = partial(jnp.einsum, optimize=True)
+    im = _intermediates(t1, t2, v)
+    asym_t2 = im["asym_t2"]
+    c_oovv = im["c_oovv"]
+
+    # ---------------- T1 (Eq. 43; ccsd.f90:1487-1495) ----------------
+    tmp_t1 = (
+        es("ea,ie->ia", im["I_vv"], t1)
+        - es("im,ma->ia", im["I_oo_p"], t1)
+        + es("em,miea->ia", im["I_vo"], asym_t2)
+        + 2.0 * es("miea,me->ia", v.v_oovv, t1)
+        - es("maie,me->ia", v.v_ovov, t1)
+        - 2.0 * es("mnei,mnea->ia", v.v_oovo, t2)
+        + es("mnei,mnae->ia", v.v_oovo, t2)
+        + es("efma,mief->ia", v.v_vvov, asym_t2)
+    )
+
+    # ---------------- T2 (Eq. 44; ccsd.f90:1497-1526) ----------------
+    X = (
+        es("ijae,eb->ijab", t2, im["I_vv"])
+        - es("imab,jm->ijab", t2, im["I_oo"])
+        + 0.5 * es("efab,ijef->ijab", v.v_vvvv, c_oovv)
+        + 0.5 * es("mnab,ijmn->ijab", c_oovv, im["I_oooo"])
+        + es("ie,ejab->ijab", t1, im["I_vovv_p"])
+        - es("ma,ijmb->ijab", t1, im["I_ooov_p"])
+        - es("mjae,iemb->ijab", t2, im["I_ovov"])
+        - es("iema,mjeb->ijab", im["I_ovov"], t2)
+        + es("miea,ejmb->ijab", asym_t2, im["I_voov"])
+    )
+    t2_new = (v.v_oovv + X + jnp.transpose(X, (1, 0, 3, 2))) / D_ijab
+    t1_new = tmp_t1 / D_ia
+    return t1_new, t2_new
+
+
+@jax.jit
+def cc_energy_restricted(t1, t2, t2_old, v_oovv):
+    """E_CC and the (squared) t2 RMS (ccsd.f90:1764-1781)."""
+    asym_v = 2.0 * v_oovv - jnp.transpose(v_oovv, (0, 1, 3, 2))
+    ecc = jnp.sum(asym_v * (t2 + jnp.einsum("ia,jb->ijab", t1, t1)))
+    rms2 = jnp.sum((t2 - t2_old) ** 2)
+    return ecc, rms2
+
+
+def do_ccsd_spatial(
+    sys_: dat.System,
+    eri_mo: jnp.ndarray,
+    cfg: Config,
+    hf: HFResult,
+    rep: Reporter | None = None,
+) -> CCSDResult:
+    rep = rep or Reporter()
+    rep.section("CCSD")
+    t_stage = time.perf_counter()
+    rep.write(" Initialise CC intermediate tensors and DIIS auxilliary arrays...")
+    rep.write(" Forming energy denominator matrices...")
+    rep.write(" Allocating amplitude tensors...")
+    rep.write(" Forming ERI slices...")
+
+    nocc, nvirt = sys_.nocc, sys_.nvirt
+    levels = jnp.asarray(hf.levels)
+    v = make_slices(eri_mo, nocc)
+    D_ia, D_ijab = denominators(levels, nocc)
+
+    rep.write(" Forming initial amplitude guesses...")
+    t1 = jnp.zeros((nocc, nvirt))
+    t2 = v.v_oovv / D_ijab  # MP1 (ccsd.f90:521)
+    rep.write(" Allocating stored intermediate tensors...")
+
+    diis = Diis(cfg.ccsd_diis_n_errmat, nocc * nvirt + (nocc * nvirt) ** 2)
+
+    rep.write(f" Time taken: {time.perf_counter() - t_stage:8.6f} s")
+    rep.write("")
+    rep.write(" Initialisation done, now entering iterative CC solver...")
+
+    t2_old = jnp.zeros_like(t2)
+    e, rms2 = cc_energy_restricted(t1, t2, t2_old, v.v_oovv)
+    energy, rms2 = float(e), float(rms2)
+    t2_old = t2
+    rep.cc_table_header()
+    rep.cc_row("MP1", energy, energy, rms2)
+
+    converged = False
+    t1_prev = t2_prev = None
+    t0 = time.perf_counter()
+    it = 0
+    for it in range(1, cfg.ccsd_maxiter + 1):
+        # DIIS snapshot of the incoming (extrapolated) amplitudes
+        t1_s, t2_s = t1, t2
+        t1_prev, t2_prev = t1, t2
+        t1, t2 = ccsd_iteration(t1, t2, v, D_ia, D_ijab)
+        e, r2 = cc_energy_restricted(t1, t2, t2_old, v.v_oovv)
+        energy_old, energy, rms2 = energy, float(e), float(r2)
+        t2_old = t2
+        t1_ = time.perf_counter()
+        rep.cc_row(it, energy, energy - energy_old, rms2, t1_ - t0)
+        t0 = t1_
+        if np.sqrt(rms2) < cfg.ccsd_t_tol and abs(energy - energy_old) < cfg.ccsd_e_tol:
+            converged = True
+            rep.table_close()
+            rep.write(" Convergence reached within tolerance.")
+            rep.write(f" Final CCSD Energy (Hartree): {energy:15.12f}")
+            break
+        # DIIS over concatenated (t1, t2) (ccsd.f90:617-676)
+        flat = jnp.concatenate([t1.ravel(), t2.ravel()])
+        err = jnp.concatenate([(t1 - t1_s).ravel(), (t2 - t2_s).ravel()])
+        extrap = diis.update(flat, err)
+        if extrap is not None:
+            t1 = extrap[: nocc * nvirt].reshape(nocc, nvirt)
+            t2 = extrap[nocc * nvirt :].reshape(nocc, nocc, nvirt, nvirt)
+
+    t1_diag = 0.0
+    if converged:
+        # T1 diagnostic (ccsd.f90:369-376)
+        t1_diag = float(np.sqrt(np.sum(np.asarray(t1) ** 2) / sys_.nel))
+        rep.write(f" T1 diagnostic: {t1_diag:8.5f}")
+        if t1_diag > 0.02:
+            rep.write(
+                " Significant multireference character detected,"
+                " CCSD result might be unreliable!"
+            )
+
+    return CCSDResult(
+        e_ccsd=energy,
+        t1=np.asarray(t1),
+        t2=np.asarray(t2),
+        t1_diagnostic=t1_diag,
+        converged=converged,
+        iterations=it,
+        slices=v,
+        t1_prev=np.asarray(t1_prev) if t1_prev is not None else None,
+        t2_prev=np.asarray(t2_prev) if t2_prev is not None else None,
+    )
