@@ -1,0 +1,48 @@
+"""Triples family golden tests: all 9 energies + D[T]/D(T) vs els_energy.dat."""
+
+import pytest
+
+from afesp_tpu.methods.triples_spatial import do_ccsd_t_spatial
+from test_ccsd_spatial import run_pipeline
+
+# els_energy.dat values (totals incl. E_nuc)
+N2 = dict(
+    ccsd_t=-109.0299402389,
+    ccsd_tt=-109.0154101572,
+    rccsd_t=-108.9735444691,
+    rccsd_tt=-108.9658259622,
+    crccsd_t=-108.959332822,
+    crccsd_tt=-108.9543970939,
+    D_T=1.9149923969,
+    D_TT=1.9196440233,
+)
+F2 = dict(
+    ccsd_t=-199.0869337653,
+    ccsd_tt=-199.0859454726,
+    rccsd_t=-199.0834465765,
+    rccsd_tt=-199.0826217789,
+    crccsd_t=-199.0820229437,
+    crccsd_tt=-199.0812536836,
+    D_T=1.2033195175,
+    D_TT=1.2035769057,
+)
+
+
+@pytest.mark.parametrize(
+    "name,ref",
+    [("n2-cc-pvdz/2.00_0.00", N2), ("f2-cc-pvdz/1.75_0.00", F2)],
+)
+def test_triples_all_variants(sample_data, tmp_path, name, ref):
+    sys_, ints, cfg, hf, mp2, cc, _ = run_pipeline(sample_data, tmp_path, name)
+    tr = do_ccsd_t_spatial(sys_, cc, cfg, hf.levels)
+    base = hf.e_hf + ints.e_nuc
+    tol = 2e-8
+    assert abs(tr.e_ccsd_t + base - ref["ccsd_t"]) < tol, "CCSD[T]"
+    assert abs(tr.e_ccsd_tt + base - ref["ccsd_tt"]) < tol, "CCSD(T)"
+    assert abs(tr.e_rccsd_t + base - ref["rccsd_t"]) < tol, "R-CCSD[T]"
+    assert abs(tr.e_rccsd_tt + base - ref["rccsd_tt"]) < tol, "R-CCSD(T)"
+    assert abs(tr.e_crccsd_t + base - ref["crccsd_t"]) < tol, "CR-CCSD[T]"
+    assert abs(tr.e_crccsd_tt + base - ref["crccsd_tt"]) < tol, "CR-CCSD(T)"
+    assert abs(tr.D_T - ref["D_T"]) < 1e-7, "D[T]"
+    assert abs(tr.D_TT - ref["D_TT"]) < 1e-7, "D(T)"
+    assert tr.calcname == "completely renormalised CCSD(T)"
