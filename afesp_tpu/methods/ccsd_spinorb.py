@@ -1,0 +1,246 @@
+"""Spin-orbital CCSD — Stanton, Gauss, Watts, Bartlett, JCP 94, 4334 (1991).
+
+Re-implements do_ccsd_spinorb (ccsd.f90:71-277) with the tau/F/W
+intermediates (build_tau ccsd.f90:678-715, build_F 717-797, build_W
+799-905) and amplitude equations (update_amplitudes 907-1038) transcribed
+*code-faithfully* — every dgemm/omp_reshape sequence was resolved into
+the einsum it actually computes, including the reference's F_oo
+tau~ term which contracts as 0.5 tau~[m,n,e,f] <in||ef> (ccsd.f90:792-795;
+Stanton Eq. 4 writes the [m<->i]-transposed contraction — we follow the
+code, not the paper, for trajectory parity).
+
+One jitted einsum program per iteration; amplitude DIIS identical to the
+spatial path (ccsd.f90:617-676).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..io import dat
+from ..io.report import Reporter
+from ..ops.linalg import Diis
+from ..ops.spin import spinorb_levels, spinorb_slice
+from .hf import HFResult
+
+
+class SpinSlices(NamedTuple):
+    """Antisymmetrised spin-orbital ERI slices (ccsd.f90:181-194)."""
+
+    oooo: jnp.ndarray
+    ooov: jnp.ndarray
+    ovoo: jnp.ndarray
+    oovo: jnp.ndarray
+    oovv: jnp.ndarray
+    ovvo: jnp.ndarray
+    ovvv: jnp.ndarray
+    vovv: jnp.ndarray
+    vvvv: jnp.ndarray
+
+
+@dataclasses.dataclass
+class CCSDSpinorbResult:
+    e_ccsd: float
+    t1: np.ndarray  # (o,v) spin-orbital
+    t2: np.ndarray  # (o,o,v,v) spin-orbital
+    converged: bool
+    iterations: int
+    slices: SpinSlices
+
+
+def make_spin_slices(eri_mo: jnp.ndarray, nocc_spatial: int) -> SpinSlices:
+    s = lambda b: spinorb_slice(eri_mo, b, nocc_spatial)
+    return SpinSlices(
+        oooo=s("oooo"),
+        ooov=s("ooov"),
+        ovoo=s("ovoo"),
+        oovo=s("oovo"),
+        oovv=s("oovv"),
+        ovvo=s("ovvo"),
+        ovvv=s("ovvv"),
+        vovv=s("vovv"),
+        vvvv=s("vvvv"),
+    )
+
+
+@jax.jit
+def ccsd_spinorb_iteration(t1, t2, v: SpinSlices, D_ia, D_ijab):
+    es = partial(jnp.einsum, optimize=True)
+
+    # -------- tau / tau~ (ccsd.f90:678-715) --------
+    x = es("ia,jb->ijab", t1, t1)
+    x = x - jnp.transpose(x, (0, 1, 3, 2))
+    tau_tilde = t2 + 0.5 * x
+    tau = t2 + x
+
+    # -------- F intermediates (ccsd.f90:717-797) --------
+    F_vv = es("mf,mafe->ae", t1, v.ovvv) + 0.5 * es(
+        "mnaf,mnfe->ae", tau_tilde, v.oovv
+    )
+    # code-faithful tau~ contraction (see module docstring)
+    F_oo = -es("ne,nmie->mi", t1, v.ooov) + 0.5 * es(
+        "mnef,inef->mi", tau_tilde, v.oovv
+    )
+    F_ov = es("nf,mnef->me", t1, v.oovv)
+
+    # -------- W intermediates (ccsd.f90:799-905) --------
+    # W_mnij, stored as [i,j,m,n] upstream; we keep natural [m,n,i,j]
+    w1 = es("mnie,je->mnij", v.ooov, t1)
+    W_oooo = (
+        v.oooo
+        + w1
+        - jnp.transpose(w1, (0, 1, 3, 2))
+        + 0.5 * es("mnef,ijef->mnij", v.oovv, tau)
+    )
+    # W_abef (Eq. 7)
+    w2 = es("mb,maef->abef", t1, v.ovvv)
+    W_vvvv = v.vvvv + w2 - jnp.transpose(w2, (1, 0, 2, 3))
+    # W_mbej (Eq. 8)
+    W_ovvo = (
+        v.ovvo
+        + es("mbef,jf->mbej", v.ovvv, t1)
+        + es("nb,nmej->mbej", t1, v.oovo)
+        - es("mnef,jnfb->mbej", v.oovv, 0.5 * t2 + es("jf,nb->jnfb", t1, t1))
+    )
+
+    # -------- T1 (Eq. 1; ccsd.f90:933-965) --------
+    tmp_t1 = (
+        es("ie,ae->ia", t1, F_vv)
+        - es("mi,ma->ia", F_oo, t1)
+        + es("me,maei->ia", t1, v.ovvo)
+        + es("miea,me->ia", t2, F_ov)
+        + 0.5 * es("mife,mafe->ia", t2, v.ovvv)
+        - 0.5 * es("mnea,mnei->ia", t2, v.oovo)
+    )
+    t1_new = tmp_t1 / D_ia
+
+    # -------- T2 (Eq. 2; ccsd.f90:967-1031) --------
+    s = -es("ie,ma,mbej->ijab", t1, t1, v.ovvo) + es(
+        "miea,mbej->ijab", t2, W_ovvo
+    )
+    tmp_t2 = (
+        v.oovv
+        + s
+        - jnp.transpose(s, (1, 0, 2, 3))
+        - jnp.transpose(s, (0, 1, 3, 2))
+        + jnp.transpose(s, (1, 0, 3, 2))
+    )
+    s = es("ijae,be->ijab", t2, F_vv)
+    tmp_t2 += s - jnp.transpose(s, (0, 1, 3, 2))
+    s = es("ijae,mb,me->ijab", t2, t1, F_ov)
+    tmp_t2 -= 0.5 * (s - jnp.transpose(s, (0, 1, 3, 2)))
+    s = es("ie,me,mjab->ijab", t1, F_ov, t2)
+    tmp_t2 -= 0.5 * (s - jnp.transpose(s, (1, 0, 2, 3)))
+    s = es("ie,ejab->ijab", t1, v.vovv)
+    tmp_t2 += s - jnp.transpose(s, (1, 0, 2, 3))
+    s = es("ijbm,ma->ijab", v.oovo, t1)
+    tmp_t2 += s - jnp.transpose(s, (0, 1, 3, 2))
+    s = es("mi,mjab->ijab", F_oo, t2)
+    tmp_t2 -= s - jnp.transpose(s, (1, 0, 2, 3))
+    tmp_t2 += 0.5 * es("mnij,mnab->ijab", W_oooo, tau)
+    tmp_t2 += 0.5 * es("ijef,abef->ijab", tau, W_vvvv)
+    t2_new = tmp_t2 / D_ijab
+
+    return t1_new, t2_new
+
+
+@jax.jit
+def cc_energy_spinorb(t1, t2, t2_old, oovv):
+    """E = 1/4 sum <ij||ab> (t2 + 2 t1 t1) (ccsd.f90:1789-1799)."""
+    ecc = 0.25 * jnp.sum(oovv * (t2 + 2.0 * jnp.einsum("ia,jb->ijab", t1, t1)))
+    rms2 = jnp.sum((t2 - t2_old) ** 2)
+    return ecc, rms2
+
+
+def spinorb_denominators(levels_so, nocc):
+    e_o = levels_so[:nocc]
+    e_v = levels_so[nocc:]
+    D_ia = e_o[:, None] - e_v[None, :]
+    D_ijab = (
+        e_o[:, None, None, None]
+        + e_o[None, :, None, None]
+        - e_v[None, None, :, None]
+        - e_v[None, None, None, :]
+    )
+    return D_ia, D_ijab
+
+
+def do_ccsd_spinorb(
+    sys_: dat.System,
+    eri_mo: jnp.ndarray,
+    cfg: Config,
+    hf: HFResult,
+    rep: Reporter | None = None,
+) -> CCSDSpinorbResult:
+    rep = rep or Reporter()
+    rep.section("CCSD")
+    t0_stage = time.perf_counter()
+    rep.write(" Forming antisymmetrised spinorbital ERIs...")
+
+    nocc, nvirt = sys_.nocc, sys_.nvirt  # spin-orbital counts
+    v = make_spin_slices(eri_mo, sys_.nel // 2)
+    rep.write(f" Time taken: {time.perf_counter() - t0_stage:8.6f} s")
+    rep.write("")
+    rep.write(" Forming slices of antisymmetrised spinorbital ERIs")
+    rep.write("")
+
+    rep.write(" Initialise CC intermediate tensors and DIIS auxilliary arrays...")
+    rep.write(" Forming energy denominator matrices...")
+    levels_so = spinorb_levels(jnp.asarray(hf.levels))
+    D_ia, D_ijab = spinorb_denominators(levels_so, nocc)
+    rep.write(" Allocating amplitude tensors...")
+    t1 = jnp.zeros((nocc, nvirt))
+    t2 = v.oovv / D_ijab  # MP1 guess (ccsd.f90:523)
+    rep.write(" Forming initial amplitude guesses...")
+
+    diis = Diis(cfg.ccsd_diis_n_errmat, nocc * nvirt + (nocc * nvirt) ** 2)
+
+    rep.write(" Initialisation done, now entering iterative CC solver...")
+    t2_old = jnp.zeros_like(t2)
+    e, r2 = cc_energy_spinorb(t1, t2, t2_old, v.oovv)
+    energy, rms2 = float(e), float(r2)
+    t2_old = t2
+    rep.cc_table_header()
+    rep.cc_row("MP1", energy, energy, rms2)
+
+    converged = False
+    t0 = time.perf_counter()
+    it = 0
+    for it in range(1, cfg.ccsd_maxiter + 1):
+        t1_s, t2_s = t1, t2
+        t1, t2 = ccsd_spinorb_iteration(t1, t2, v, D_ia, D_ijab)
+        e, r2 = cc_energy_spinorb(t1, t2, t2_old, v.oovv)
+        energy_old, energy, rms2 = energy, float(e), float(r2)
+        t2_old = t2
+        t1_ = time.perf_counter()
+        rep.cc_row(it, energy, energy - energy_old, rms2, t1_ - t0)
+        t0 = t1_
+        if np.sqrt(rms2) < cfg.ccsd_t_tol and abs(energy - energy_old) < cfg.ccsd_e_tol:
+            converged = True
+            rep.table_close()
+            rep.write(" Convergence reached within tolerance.")
+            rep.write(f" Final CCSD Energy (Hartree): {energy:15.12f}")
+            break
+        flat = jnp.concatenate([t1.ravel(), t2.ravel()])
+        err = jnp.concatenate([(t1 - t1_s).ravel(), (t2 - t2_s).ravel()])
+        extrap = diis.update(flat, err)
+        if extrap is not None:
+            t1 = extrap[: nocc * nvirt].reshape(nocc, nvirt)
+            t2 = extrap[nocc * nvirt :].reshape(nocc, nocc, nvirt, nvirt)
+
+    return CCSDSpinorbResult(
+        e_ccsd=energy,
+        t1=np.asarray(t1),
+        t2=np.asarray(t2),
+        converged=converged,
+        iterations=it,
+        slices=v,
+    )
