@@ -100,9 +100,10 @@ def ccsd_spinorb_iteration(t1, t2, v: SpinSlices, D_ia, D_ijab):
         - jnp.transpose(w1, (0, 1, 3, 2))
         + 0.5 * es("mnef,ijef->mnij", v.oovv, tau)
     )
-    # W_abef (Eq. 7)
-    w2 = es("mb,maef->abef", t1, v.ovvv)
-    W_vvvv = v.vvvv + w2 - jnp.transpose(w2, (1, 0, 2, 3))
+    # W_abef (Eq. 7) is NOT materialised: its three contributions to the
+    # T2 equation are fused below so no O(v^4) temporary beyond the
+    # stored vvvv slice exists (the reference instead reshapes/stores
+    # W_vvvv, ccsd.f90:846-858 — prohibitive in HBM at pVTZ scale).
     # W_mbej (Eq. 8)
     W_ovvo = (
         v.ovvo
@@ -146,7 +147,12 @@ def ccsd_spinorb_iteration(t1, t2, v: SpinSlices, D_ia, D_ijab):
     s = es("mi,mjab->ijab", F_oo, t2)
     tmp_t2 -= s - jnp.transpose(s, (1, 0, 2, 3))
     tmp_t2 += 0.5 * es("mnij,mnab->ijab", W_oooo, tau)
-    tmp_t2 += 0.5 * es("ijef,abef->ijab", tau, W_vvvv)
+    # 0.5 tau_ijef W_abef with W_abef = <ab||ef> + P_(ab) t1[m,b] <ma||ef>,
+    # fused: the t1 part factors through G[i,j,m,a] = tau_ijef <ma||ef>
+    # (O(o^3 v) memory instead of O(v^4)).
+    tmp_t2 += 0.5 * es("ijef,efab->ijab", tau, v.vvvv)  # vvvv is (ab)<->(ef) symmetric
+    G = es("ijef,maef->ijma", tau, v.ovvv)
+    tmp_t2 += 0.5 * (es("ijma,mb->ijab", G, t1) - es("ijmb,ma->ijab", G, t1))
     t2_new = tmp_t2 / D_ijab
 
     return t1_new, t2_new

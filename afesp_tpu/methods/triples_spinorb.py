@@ -31,12 +31,13 @@ from ..io.report import Reporter
 from .ccsd_spinorb import CCSDSpinorbResult
 
 
-@partial(jax.jit, static_argnames=())
-def _triples_chunk(ii, jj, kk, t1, t2, vovv, ovoo, oovv, e_o, e_v):
-    """Energy contribution of a chunk of (i,j,k) triples.
+def triples_chunk_energies(ii, jj, kk, t1, t2, vovv, ovoo, oovv, e_o, e_v):
+    """Per-triple E(T) contributions for a chunk of (i,j,k) triples.
 
-    ii/jj/kk: (C,) index arrays.  Returns the summed E(T) contribution
-    (including the 1/36 factor, ccsd.f90:1910).
+    ii/jj/kk: (C,) index arrays.  Returns a (C,) vector of contributions
+    (including the 1/36 factor, ccsd.f90:1910); the caller reduces.
+    This is the unit the multi-chip path shards over the device mesh
+    (parallel/triples_shard.py).
     """
     es = partial(jnp.einsum, optimize=True)
 
@@ -76,7 +77,93 @@ def _triples_chunk(ii, jj, kk, t1, t2, vovv, ovoo, oovv, e_o, e_v):
         - e_v[None, None, :, None]
         - e_v[None, None, None, :]
     )
-    return jnp.sum(t3c * (t3c / D + t3d / D)) / 36.0
+    return jnp.sum(t3c * (t3c / D + t3d / D), axis=(1, 2, 3)) / 36.0
+
+
+@jax.jit
+def _triples_chunk(ii, jj, kk, t1, t2, vovv, ovoo, oovv, e_o, e_v):
+    return jnp.sum(
+        triples_chunk_energies(ii, jj, kk, t1, t2, vovv, ovoo, oovv, e_o, e_v)
+    )
+
+
+@partial(jax.jit, static_argnames=("jlen", "precision"))
+def _triples_islice(
+    i0, j0, t1, t2, vovv, ovoo, oovv, e_o, e_v, *, jlen: int, precision: str = "f64"
+):
+    """E(T) contribution of the (i=i0, j in [j0, j0+jlen), all k) slab.
+
+    Static-slice formulation of the same math as triples_chunk_energies:
+    every contraction is a dense GEMM over contiguous operands (no big
+    gathers), which is how the MXU wants the reference's per-(i,j,k)
+    panel loop (ccsd.f90:1868-1914) batched.
+
+    precision:
+      "f64"    — XLA-emulated f64 GEMMs everywhere (bit-for-bit safe)
+      "hybrid" — the six O(v^3)-per-triple contractions run on the MXU in
+        f32 (inputs are exactly representable to ~6e-8 relative); all
+        permutation algebra, denominators, and the energy reduction stay
+        f64.  Because t3c enters the energy quadratically and the ~1e9
+        per-element rounding errors cancel statistically, the end-to-end
+        E(T) shift is ~1e-10 Ha (validated against the f64 path in
+        tests/test_triples_precision.py) — far inside the 1e-8 contract.
+    """
+    es = partial(jnp.einsum, optimize=True)
+    dj = lambda x, ax: jax.lax.dynamic_slice_in_dim(x, j0, jlen, axis=ax)
+
+    if precision == "hybrid":
+        f32 = jnp.float32
+        t2 = t2.astype(f32)
+        vovv = vovv.astype(f32)
+        ovoo = ovoo.astype(f32)
+
+    t2_i = jnp.take(t2, i0, axis=0)  # t2[i0,k,:,:]   (o,v,v)
+    t2_ci = jnp.take(t2, i0, axis=1)  # t2[m/j,i0,:,:] (o,v,v)
+    t1_i = jnp.take(t1, i0, axis=0)  # (v,)
+    vovv_i = jnp.take(vovv, i0, axis=1)  # vovv[f,i0,b,c] (v,v,v)
+    ovoo_i3 = jnp.take(ovoo, i0, axis=2)  # ovoo[m,a,i0,k] (o,v,o)
+    ovoo_i4 = jnp.take(ovoo, i0, axis=3)  # ovoo[m,a,j,i0] (o,v,o)
+    oovv_i = jnp.take(oovv, i0, axis=0)  # oovv[i0,k,b,c] (o,v,v)
+    oovv_ci = jnp.take(oovv, i0, axis=1)  # oovv[j,i0,b,c] (o,v,v)
+
+    # -- connected numerator, P(i/jk) rows (ccsd.f90:1883-1890) --
+    # base[j,k,a,b,c] =   sum_f vovv[f,i0,b,c] t2[j,k,a,f]
+    #                   - sum_f vovv[f,j,b,c]  t2[i0,k,a,f]
+    #                   - sum_f vovv[f,k,b,c]  t2[j,i0,a,f]
+    #                   - sum_m t2[m,i0,c,b] ovoo[m,a,j,k]
+    #                   + sum_m t2[m,j,c,b]  ovoo[m,a,i0,k]
+    #                   + sum_m t2[m,k,c,b]  ovoo[m,a,j,i0]
+    t3c = (
+        es("jkaf,fbc->jkabc", dj(t2, 0), vovv_i)
+        - es("kaf,fjbc->jkabc", t2_i, dj(vovv, 1))
+        - es("jaf,fkbc->jkabc", dj(t2_ci, 0), vovv)
+        - es("mcb,majk->jkabc", t2_ci, dj(ovoo, 2))
+        + es("mjcb,mak->jkabc", dj(t2, 1), ovoo_i3)
+        + es("mkcb,maj->jkabc", t2, dj(ovoo_i4, 2))
+    ).astype(jnp.float64)
+
+    # -- disconnected numerator (ccsd.f90:1878) --
+    t3d = (
+        es("a,jkbc->jkabc", t1_i.astype(oovv.dtype), dj(oovv, 0))
+        - es("ja,kbc->jkabc", dj(t1, 0).astype(oovv.dtype), oovv_i)
+        - es("ka,jbc->jkabc", t1.astype(oovv.dtype), dj(oovv_ci, 0))
+    ).astype(jnp.float64)
+
+    def p_abc(x):
+        return x - jnp.transpose(x, (0, 1, 3, 2, 4)) - jnp.transpose(x, (0, 1, 4, 3, 2))
+
+    t3c = p_abc(t3c)
+    t3d = p_abc(t3d)
+
+    D = (
+        (e_o[i0] + jax.lax.dynamic_slice_in_dim(e_o, j0, jlen)[:, None] + e_o[None, :])[
+            :, :, None, None, None
+        ]
+        - e_v[None, None, :, None, None]
+        - e_v[None, None, None, :, None]
+        - e_v[None, None, None, None, :]
+    )
+    return jnp.sum(t3c * (t3c + t3d) / D) / 36.0
 
 
 def do_ccsd_t_spinorb(
@@ -86,6 +173,7 @@ def do_ccsd_t_spinorb(
     levels: np.ndarray,
     rep: Reporter | None = None,
     chunk: int = 0,
+    precision: str = "hybrid",
 ) -> float:
     """Returns e_ccsd_t = e_ccsd + E(T) (ccsd.f90:1917)."""
     rep = rep or Reporter()
@@ -104,30 +192,17 @@ def do_ccsd_t_spinorb(
     # <fi||bc> slice: vovv; <ma||jk>: ovoo; <jk||bc>: oovv (ccsd.f90:1834-1835)
     vovv, ovoo, oovv = v.vovv, v.ovoo, v.oovv
 
-    if chunk <= 0:
-        # bound per-chunk transients (~3 tensors of C*v^3 f64) to ~1 GB
-        chunk = max(1, min(nocc**3, int(1e9 / (3 * 8 * nvirt**3) + 1)))
+    # j-slab length bounds the ~26 live (jlen*o*v^3) transients to ~12 GB
+    jlen = max(1, min(nocc, int(10e9 / (26 * 8 * nocc * nvirt**3) + 1)))
 
-    idx = np.arange(nocc)
-    ii, jj, kk = (x.ravel() for x in np.meshgrid(idx, idx, idx, indexing="ij"))
     total = 0.0
-    # at most two distinct chunk shapes compile (body + tail)
-    for s in range(0, len(ii), chunk):
-        sl = slice(s, min(s + chunk, len(ii)))
-        total += float(
-            _triples_chunk(
-                jnp.asarray(ii[sl]),
-                jnp.asarray(jj[sl]),
-                jnp.asarray(kk[sl]),
-                t1,
-                t2,
-                vovv,
-                ovoo,
-                oovv,
-                e_o,
-                e_v,
+    args = (t1, t2, vovv, ovoo, oovv, e_o, e_v)
+    for i0 in range(nocc):
+        for j0 in range(0, nocc, jlen):
+            jl = min(jlen, nocc - j0)
+            total += float(
+                _triples_islice(i0, j0, *args, jlen=jl, precision=precision)
             )
-        )
 
     e_ccsd_t = total + cc.e_ccsd
     rep.write(

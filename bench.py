@@ -1,0 +1,145 @@
+"""Headline benchmark: H2O/cc-pVTZ CCSD(T), spin-orbital path (58 basis
+functions, nocc=10, nvirt=106 spin orbitals) — the reference's flagship
+workload (sample_data/h2o-cc-pvtz/2.00_104.45, els_cpu.out).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+vs_baseline is the speedup over the reference's multithreaded-CPU
+CCSD+(T) wall (47.33 s + 123.00 s = 170.33 s, BASELINE.md); > 1 is faster.
+
+If the cc-pVTZ ERI file is unavailable (the committed one is a missing
+large blob) and the native integral engine hasn't generated it yet, falls
+back to the same pipeline stages on random tensors of identical shapes so
+the kernel timing is still representative.
+"""
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+FIXTURE = Path(
+    os.environ.get(
+        "AFESP_BENCH_FIXTURE",
+        "/root/reference/sample_data/h2o-cc-pvtz/2.00_104.45",
+    )
+)
+GENERATED_ERI = REPO / "data" / "h2o-cc-pvtz" / "eri.dat"
+
+BASELINE_CCSD_T_WALL = 47.33 + 123.00  # s, els_cpu.out (OpenMP multithread)
+
+
+def _force(x):
+    """Force completion via host transfer (block_until_ready is unreliable
+    under the axon tunnel)."""
+    import numpy as np
+
+    return float(np.asarray(x).ravel()[0])
+
+
+def bench_real(workdir: Path):
+    import io
+    import jax.numpy as jnp
+
+    from afesp_tpu.config import read_els_in
+    from afesp_tpu.io import dat
+    from afesp_tpu.io.report import Reporter
+    from afesp_tpu.methods.hf import do_rhf
+    from afesp_tpu.methods.mp2 import do_mp2_spatial
+    from afesp_tpu.methods.ccsd_spinorb import do_ccsd_spinorb
+    from afesp_tpu.methods.triples_spinorb import do_ccsd_t_spinorb
+
+    cfg = read_els_in(workdir)
+    cfg.scf_read_guess = False
+    cfg.scf_write_guess = False
+    sys_, ints = dat.read_integrals(workdir, cfg.restricted)
+    rep = Reporter(stream=io.StringIO())
+    hf = do_rhf(sys_, ints, cfg, rep, workdir)
+    mp2 = do_mp2_spatial(sys_, ints, cfg, hf, rep, workdir)
+
+    t0 = time.perf_counter()
+    cc = do_ccsd_spinorb(sys_, mp2.eri_mo, cfg, hf, rep)
+    e_t = do_ccsd_t_spinorb(sys_, cc, cfg, hf.levels, rep)
+    wall = time.perf_counter() - t0
+
+    # accuracy gate vs the reference run (els_cpu.out)
+    ok_ccsd = abs(cc.e_ccsd - -0.399789132814) < 1e-7
+    ok_t = abs(e_t - -0.434032756) < 5e-7
+    return wall, {"e_ccsd": cc.e_ccsd, "e_ccsd_t": e_t, "ok": ok_ccsd and ok_t}
+
+
+def bench_synthetic():
+    """Same CCSD-iteration + triples kernels at pVTZ spin-orbital shapes."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    sys.path.insert(0, str(REPO))
+    from __graft_entry__ import _random_spin_problem
+    from afesp_tpu.methods.ccsd_spinorb import ccsd_spinorb_iteration
+    from afesp_tpu.methods.triples_spinorb import _triples_islice
+
+    no, nv = 10, 106
+    t1, t2, slices, D_ia, D_ijab, e_o, e_v = _random_spin_problem(no=no, nv=nv)
+    e_o, e_v = jnp.asarray(e_o), jnp.asarray(e_v)
+
+    # CCSD iteration x 19 (the reference took 19 iterations)
+    t1n, t2n = ccsd_spinorb_iteration(t1, t2, slices, D_ia, D_ijab)
+    _force(t1n)  # compile + settle
+    t0 = time.perf_counter()
+    for _ in range(19):
+        t1n, t2n = ccsd_spinorb_iteration(t1n, t2n, slices, D_ia, D_ijab)
+    _force(t1n)
+    ccsd_wall = time.perf_counter() - t0
+
+    # triples over the full o^3 grid, per-(i, j-slab) static slices
+    jlen = max(1, min(no, int(10e9 / (26 * 8 * no * nv**3) + 1)))
+    args = (t1, t2, slices.vovv, slices.ovoo, slices.oovv, e_o, e_v)
+    _force(_triples_islice(0, 0, *args, jlen=jlen, precision="hybrid"))  # compile
+    t0 = time.perf_counter()
+    tot = 0.0
+    for i0 in range(no):
+        for j0 in range(0, no, jlen):
+            jl = min(jlen, no - j0)
+            tot += _force(_triples_islice(i0, j0, *args, jlen=jl, precision="hybrid"))
+    t_wall = time.perf_counter() - t0
+    return ccsd_wall + t_wall, {"ccsd_wall": ccsd_wall, "t_wall": t_wall, "ok": None}
+
+
+def main():
+    mode = "real"
+    workdir = None
+    if (FIXTURE / "eri.dat").exists():
+        workdir = FIXTURE
+    elif GENERATED_ERI.exists():
+        # stage generated eri.dat next to the committed s/t/v/geom files
+        import shutil, tempfile
+
+        workdir = Path(tempfile.mkdtemp())
+        for f in ("s.dat", "t.dat", "v.dat", "geom.dat", "els.in"):
+            shutil.copy(FIXTURE / f, workdir / f)
+        shutil.copy(GENERATED_ERI, workdir / "eri.dat")
+    if workdir is not None:
+        wall, extra = bench_real(workdir)
+    else:
+        mode = "synthetic"
+        wall, extra = bench_synthetic()
+
+    print(
+        json.dumps(
+            {
+                "metric": f"h2o_ccpvtz_ccsd_t_wall_{mode}",
+                "value": round(wall, 3),
+                "unit": "s",
+                "vs_baseline": round(BASELINE_CCSD_T_WALL / wall, 2),
+                **{k: (round(v, 9) if isinstance(v, float) else v) for k, v in extra.items()},
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,64 @@
+"""Multi-chip path tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from afesp_tpu.parallel.mesh import default_mesh
+from afesp_tpu.parallel.triples_shard import triples_energy_sharded
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_triples_matches_single(sample_data, tmp_path):
+    from test_ccsd_spatial import run_pipeline
+    from test_ccsd_spinorb import spin_expand_t1, spin_expand_t2
+    from afesp_tpu.methods.ccsd_spinorb import make_spin_slices
+    from afesp_tpu.methods.triples_spinorb import _triples_chunk
+    from afesp_tpu.ops.spin import spinorb_levels
+
+    sys_, ints, cfg, hf, mp2, cc, _ = run_pipeline(
+        sample_data, tmp_path, "h2o-cc-pvdz/1.80_104.45"
+    )
+    slices = make_spin_slices(mp2.eri_mo, sys_.nel // 2)
+    t1 = jnp.asarray(spin_expand_t1(cc.t1))
+    t2 = jnp.asarray(spin_expand_t2(cc.t2))
+    lv = spinorb_levels(jnp.asarray(hf.levels))
+    nocc = sys_.nel
+    e_o, e_v = lv[:nocc], lv[nocc:]
+
+    # single-device value
+    idx = np.arange(nocc)
+    ii, jj, kk = (x.ravel() for x in np.meshgrid(idx, idx, idx, indexing="ij"))
+    e_single = float(
+        _triples_chunk(
+            jnp.asarray(ii),
+            jnp.asarray(jj),
+            jnp.asarray(kk),
+            t1,
+            t2,
+            slices.vovv,
+            slices.ovoo,
+            slices.oovv,
+            e_o,
+            e_v,
+        )
+    )
+
+    mesh = default_mesh(8)
+    e_sharded = triples_energy_sharded(
+        mesh,
+        nocc,
+        t1,
+        t2,
+        slices.vovv,
+        slices.ovoo,
+        slices.oovv,
+        e_o,
+        e_v,
+        inner_chunk=25,
+    )
+    assert abs(e_sharded - e_single) < 1e-12
