@@ -68,8 +68,20 @@ def _prim_norm(alpha: float, l: int) -> float:
     )
 
 
+def _basis_table(basis_name: str):
+    name = basis_name.lower()
+    if name.startswith("fixture-"):
+        from . import fixture_basis
+
+        return {
+            "fixture-def2-svp": fixture_basis.FIXTURE_DEF2_SVP,
+            "fixture-cc-pvtz": fixture_basis.FIXTURE_CC_PVTZ,
+        }[name]
+    return BASIS_SETS[name]
+
+
 def build_basis(charges, coords, basis_name: str) -> BasisSet:
-    data = BASIS_SETS[basis_name.lower()]
+    data = _basis_table(basis_name)
     shells = []
     offsets = []
     nbf = 0

@@ -1,0 +1,53 @@
+"""Write the five .dat integral files from the native engine.
+
+Drop-in replacement for utils/psi4_integrals_nosym.py (generate_dat_psi):
+same sparse lower-triangular text layouts with a 1e-12 cutoff, so the
+files interoperate with both this package and the reference els.x.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from ..io.dat import nuclear_repulsion
+from .engine import build_basis, eri_tensor, kinetic, nuclear, overlap
+
+
+def _write_tri_2d(path: Path, M: np.ndarray):
+    n = M.shape[0]
+    with open(path, "w") as f:
+        for i in range(1, n + 1):
+            for j in range(1, i + 1):
+                f.write(f"{i}\t{j}\t{M[i-1, j-1]:17.15f}\n")
+
+
+def _write_tri_4d(path: Path, eri: np.ndarray, cut: float = 1e-12):
+    n = eri.shape[0]
+    with open(path, "w") as f:
+        for i in range(n):
+            for j in range(i + 1):
+                for k in range(i + 1):
+                    lu = k if k < i else j
+                    for l in range(lu + 1):
+                        v = eri[i, j, k, l]
+                        if abs(v) > cut:
+                            f.write(f"{i+1}\t{j+1}\t{k+1}\t{l+1}\t{v:17.15f}\n")
+
+
+def write_dat_files(
+    directory: str | Path, charges, coords, basis_name: str, verbose=False
+):
+    d = Path(directory)
+    d.mkdir(parents=True, exist_ok=True)
+    basis = build_basis(charges, coords, basis_name)
+    _write_tri_2d(d / "s.dat", overlap(basis))
+    _write_tri_2d(d / "t.dat", kinetic(basis))
+    _write_tri_2d(d / "v.dat", nuclear(basis, charges, coords))
+    _write_tri_4d(d / "eri.dat", eri_tensor(basis, verbose=verbose))
+    with open(d / "geom.dat", "w") as f:
+        f.write(f"{len(charges)}\n")
+        for z, r in zip(charges, coords):
+            f.write(f"{int(z)}\t{r[0]:17.15f}\t{r[1]:17.15f}\t{r[2]:17.15f}\n")
+    return basis

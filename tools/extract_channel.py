@@ -86,10 +86,16 @@ def extract(fixture, structure):
         see tools/extract_basis.py)."""
         ai_r = row_atom
 
+        # trusted partner columns: free (single-primitive) shells only —
+        # their parameters are exact, so no cross-contamination between
+        # contracted-shell fits.  The shell's own T/V diagonal entries are
+        # appended after the inner linear solve (they are quadratic in c).
         partners = []
         sh = current_shells()
         for i2, m2 in enumerate(shells_meta):
             if sh[i2] is None or m2[5] == row_off:
+                continue
+            if m2[4] != "free":
                 continue
             partners.append((i2, m2[5], 2 * m2[3] + 1))
 
@@ -127,15 +133,28 @@ def extract(fixture, structure):
                 return np.zeros(len(es)), np.full(len(y), 1e3)
             return c, A.T @ c - y
 
+        def diag_resid(es, c):
+            sh_self = norm_shell(l, es, c, coords[ai_r])
+            dT = pair_T(sh_self, sh_self)[0, 0] - T_ref[row_off, row_off]
+            dV = pair_V(sh_self, sh_self, charges, coords)[0, 0] - V_ref[row_off, row_off]
+            return np.array([wT * dT, wV * dV])
+
         def resid(x):
             x = np.clip(x, np.log(1e-3), np.log(5e7))
-            return solve_c(np.concatenate([np.exp(x), fixed_exps]))[1]
+            es = np.concatenate([np.exp(x), fixed_exps])
+            c, r = solve_c(es)
+            if np.all(np.isfinite(c)) and np.abs(c).max() > 0:
+                r = np.concatenate([r, diag_resid(es, c)])
+            else:
+                r = np.concatenate([r, [1e3, 1e3]])
+            return r
 
         sol = least_squares(
             resid, np.log(e0), method="lm", xtol=1e-15, ftol=1e-15, max_nfev=800
         )
         es = np.concatenate([np.exp(sol.x), fixed_exps])
         c, r = solve_c(es)
+        r = np.concatenate([r, diag_resid(es, c)])
         return np.abs(r).max(), es, c
 
     def fit_and_store(key, l, m0, nprim, e0, fixed):
