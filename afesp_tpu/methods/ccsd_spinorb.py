@@ -200,7 +200,7 @@ def do_ccsd_spinorb(
 
     rep.write(" Initialise CC intermediate tensors and DIIS auxilliary arrays...")
     rep.write(" Forming energy denominator matrices...")
-    levels_so = spinorb_levels(jnp.asarray(hf.levels))
+    levels_so = spinorb_levels(jnp.asarray(hf.levels), sys_.nel // 2)
     D_ia, D_ijab = spinorb_denominators(levels_so, nocc)
     rep.write(" Allocating amplitude tensors...")
     t1 = jnp.zeros((nocc, nvirt))

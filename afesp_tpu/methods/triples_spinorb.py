@@ -183,7 +183,7 @@ def do_ccsd_t_spinorb(
     nocc, nvirt = sys_.nocc, sys_.nvirt
     from ..ops.spin import spinorb_levels
 
-    lv = spinorb_levels(jnp.asarray(levels))
+    lv = spinorb_levels(jnp.asarray(levels), nocc // 2)
     e_o, e_v = lv[:nocc], lv[nocc:]
 
     t1 = jnp.asarray(cc.t1)

@@ -31,17 +31,83 @@ def spinorb_slice(eri_mo: jnp.ndarray, blocks: str, nocc_spatial: int) -> jnp.nd
     A = phys[s1, s2, s3, s4]  # <PQ|RS>
     B = jnp.transpose(eri_mo, (0, 2, 3, 1))[s1, s2, s3, s4]  # <PQ|SR> = (PS|QR)
 
-    eye = jnp.eye(2, dtype=eri_mo.dtype)
-    out = jnp.einsum("PQRS,ac,bd->PaQbRcSd", A, eye, eye) - jnp.einsum(
-        "PQRS,ad,bc->PaQbRcSd", B, eye, eye
-    )
-    d1, d2, d3, d4 = A.shape
-    return out.reshape(2 * d1, 2 * d2, 2 * d3, 2 * d4)
+    # Assemble the 16 spin blocks (the Fortran decision tree,
+    # ccsd.f90:133-138) in BLOCK spin order: within each occupied/virtual
+    # space all alpha orbitals precede all beta.  (The reference
+    # interleaves alpha/beta, but CC energies are invariant to orbital
+    # ordering within the o/v spaces, and block layout avoids TPU tile
+    # padding on tiny minor dimensions.)
+    AmB = A - B
+    Z = jnp.zeros_like(A)
+
+    def blk(sp, sq, sr, ss):
+        t = Z
+        if sp == sr and sq == ss:
+            t = AmB if (sp == ss and sq == sr) else A
+        elif sp == ss and sq == sr:
+            t = -B
+        return t
+
+    rows0 = []
+    for sp in (0, 1):
+        rows1 = []
+        for sq in (0, 1):
+            rows2 = []
+            for sr in (0, 1):
+                rows3 = [blk(sp, sq, sr, ss) for ss in (0, 1)]
+                rows2.append(jnp.concatenate(rows3, axis=3))
+            rows1.append(jnp.concatenate(rows2, axis=2))
+        rows0.append(jnp.concatenate(rows1, axis=1))
+    return jnp.concatenate(rows0, axis=0)
 
 
-def spinorb_levels(levels: jnp.ndarray) -> jnp.ndarray:
-    """Duplicate each spatial level over both spins (ccsd.f90:460-463)."""
-    return jnp.repeat(levels, 2)
+def spinorb_levels(levels: jnp.ndarray, nocc_spatial: int) -> jnp.ndarray:
+    """Spin-orbital levels in block order: [occ-alpha, occ-beta,
+    virt-alpha, virt-beta] (the reference interleaves, ccsd.f90:460-463;
+    see spinorb_slice for why block order is used here)."""
+    e_o = levels[:nocc_spatial]
+    e_v = levels[nocc_spatial:]
+    return jnp.concatenate([e_o, e_o, e_v, e_v])
+
+
+def spin_expand_t1(t1):
+    """Closed-shell spatial t1 -> block-spin spin-orbital t1."""
+    import numpy as np
+
+    no, nv = t1.shape
+    out = np.zeros((2 * no, 2 * nv))
+    out[:no, :nv] = t1
+    out[no:, nv:] = t1
+    return out
+
+
+def spin_expand_t2(t2):
+    """Closed-shell spatial t2 -> antisymmetrised block-spin t2:
+    t2_so[(si I)(sj J)(sa A)(sb B)] = d(si,sa)d(sj,sb) t2[I,J,A,B]
+                                     - d(si,sb)d(sj,sa) t2[I,J,B,A]."""
+    import numpy as np
+
+    no, _, nv, _ = t2.shape
+    out = np.zeros((2 * no, 2 * no, 2 * nv, 2 * nv))
+    t2swap = t2.transpose(0, 1, 3, 2)
+    for si in (0, 1):
+        for sj in (0, 1):
+            for sa in (0, 1):
+                for sb in (0, 1):
+                    v = 0.0
+                    if si == sa and sj == sb:
+                        v = t2 - t2swap if (si == sb and sj == sa) else t2
+                    elif si == sb and sj == sa:
+                        v = -t2swap
+                    else:
+                        continue
+                    out[
+                        si * no : (si + 1) * no,
+                        sj * no : (sj + 1) * no,
+                        sa * nv : (sa + 1) * nv,
+                        sb * nv : (sb + 1) * nv,
+                    ] = v
+    return out
 
 
 def permutational_symmetry_error(asym: jnp.ndarray) -> float:

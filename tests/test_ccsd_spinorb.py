@@ -36,22 +36,7 @@ from afesp_tpu.methods.triples_spatial import do_ccsd_t_spatial
 from afesp_tpu.ops.spin import permutational_symmetry_error, spinorb_slice
 
 
-def spin_expand_t1(t1):
-    no, nv = t1.shape
-    out = np.zeros((2 * no, 2 * nv))
-    out[0::2, 0::2] = t1
-    out[1::2, 1::2] = t1
-    return out
-
-
-def spin_expand_t2(t2):
-    """Closed-shell spatial t2 -> antisymmetrised spin-orbital t2
-    (physicist convention, same spin pattern as <pq||rs>)."""
-    eye = np.eye(2)
-    a = np.einsum("IJAB,ac,bd->IaJbAcBd", t2, eye, eye)
-    b = np.einsum("IJAB,ad,bc->IaJbAcBd", t2.transpose(0, 1, 3, 2), eye, eye)
-    no, _, nv, _ = t2.shape
-    return (a - b).reshape(2 * no, 2 * no, 2 * nv, 2 * nv)
+from afesp_tpu.ops.spin import spin_expand_t1, spin_expand_t2  # block-spin order
 
 
 def test_permutational_self_check(sample_data, tmp_path):

@@ -15,7 +15,7 @@ def test_mesh_has_8_devices():
 
 def test_sharded_triples_matches_single(sample_data, tmp_path):
     from test_ccsd_spatial import run_pipeline
-    from test_ccsd_spinorb import spin_expand_t1, spin_expand_t2
+    from afesp_tpu.ops.spin import spin_expand_t1, spin_expand_t2
     from afesp_tpu.methods.ccsd_spinorb import make_spin_slices
     from afesp_tpu.methods.triples_spinorb import _triples_chunk
     from afesp_tpu.ops.spin import spinorb_levels
@@ -26,7 +26,7 @@ def test_sharded_triples_matches_single(sample_data, tmp_path):
     slices = make_spin_slices(mp2.eri_mo, sys_.nel // 2)
     t1 = jnp.asarray(spin_expand_t1(cc.t1))
     t2 = jnp.asarray(spin_expand_t2(cc.t2))
-    lv = spinorb_levels(jnp.asarray(hf.levels))
+    lv = spinorb_levels(jnp.asarray(hf.levels), sys_.nel // 2)
     nocc = sys_.nel
     e_o, e_v = lv[:nocc], lv[nocc:]
 

@@ -14,7 +14,7 @@ from afesp_tpu.methods.triples_spinorb import do_ccsd_t_spinorb
 
 def test_hybrid_matches_f64(sample_data, tmp_path):
     from test_ccsd_spatial import run_pipeline
-    from test_ccsd_spinorb import spin_expand_t1, spin_expand_t2
+    from afesp_tpu.ops.spin import spin_expand_t1, spin_expand_t2
 
     sys_, ints, cfg, hf, mp2, cc, _ = run_pipeline(
         sample_data, tmp_path, "n2-cc-pvdz/2.00_0.00"
