@@ -42,7 +42,14 @@ def _force(x):
 
 def bench_real(workdir: Path):
     import io
+    import jax
     import jax.numpy as jnp
+
+    # persistent compilation cache: repeat runs skip the ~60s XLA compiles
+    cache_dir = REPO / ".jax_cache"
+    cache_dir.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from afesp_tpu.config import read_els_in
     from afesp_tpu.io import dat
@@ -62,13 +69,22 @@ def bench_real(workdir: Path):
 
     t0 = time.perf_counter()
     cc = do_ccsd_spinorb(sys_, mp2.eri_mo, cfg, hf, rep)
+    t1 = time.perf_counter()
     e_t = do_ccsd_t_spinorb(sys_, cc, cfg, hf.levels, rep)
-    wall = time.perf_counter() - t0
+    t2 = time.perf_counter()
+    wall = t2 - t0
 
-    # accuracy gate vs the reference run (els_cpu.out)
-    ok_ccsd = abs(cc.e_ccsd - -0.399789132814) < 1e-7
-    ok_t = abs(e_t - -0.434032756) < 5e-7
-    return wall, {"e_ccsd": cc.e_ccsd, "e_ccsd_t": e_t, "ok": ok_ccsd and ok_t}
+    # accuracy gate vs the reference run (els_cpu.out): 1e-8 Ha contract
+    ok_ccsd = abs(cc.e_ccsd - -0.399789132814) < 1e-8
+    ok_t = abs(e_t - -0.434032756) < 1e-8
+    return wall, {
+        "e_ccsd": cc.e_ccsd,
+        "e_ccsd_t": e_t,
+        "ccsd_wall": t1 - t0,
+        "t_wall": t2 - t1,
+        "ccsd_iters": cc.iterations,
+        "ok": ok_ccsd and ok_t,
+    }
 
 
 def bench_synthetic():
