@@ -255,31 +255,28 @@ def do_ccsd_spatial(
     t2 = v.v_oovv / D_ijab  # MP1 (ccsd.f90:521)
     rep.write(" Allocating stored intermediate tensors...")
 
-    diis = Diis(cfg.ccsd_diis_n_errmat, nocc * nvirt + (nocc * nvirt) ** 2)
+    from ..ops.cc_step import init_cc_state, make_fused_cc_step
+
+    step = make_fused_cc_step(ccsd_iteration, cc_energy_restricted)
 
     rep.write(f" Time taken: {time.perf_counter() - t_stage:8.6f} s")
     rep.write("")
     rep.write(" Initialisation done, now entering iterative CC solver...")
 
-    t2_old = jnp.zeros_like(t2)
-    e, rms2 = cc_energy_restricted(t1, t2, t2_old, v.v_oovv)
+    e, rms2 = cc_energy_restricted(t1, t2, jnp.zeros_like(t2), v.v_oovv)
     energy, rms2 = float(e), float(rms2)
-    t2_old = t2
     rep.cc_table_header()
     rep.cc_row("MP1", energy, energy, rms2)
 
+    state = init_cc_state(t1, t2, cfg.ccsd_diis_n_errmat)
     converged = False
-    t1_prev = t2_prev = None
     t0 = time.perf_counter()
     it = 0
     for it in range(1, cfg.ccsd_maxiter + 1):
-        # DIIS snapshot of the incoming (extrapolated) amplitudes
-        t1_s, t2_s = t1, t2
-        t1_prev, t2_prev = t1, t2
-        t1, t2 = ccsd_iteration(t1, t2, v, D_ia, D_ijab)
-        e, r2 = cc_energy_restricted(t1, t2, t2_old, v.v_oovv)
+        state, e, r2 = step(
+            state, v, D_ia, D_ijab, v.v_oovv, nerr=cfg.ccsd_diis_n_errmat
+        )
         energy_old, energy, rms2 = energy, float(e), float(r2)
-        t2_old = t2
         t1_ = time.perf_counter()
         rep.cc_row(it, energy, energy - energy_old, rms2, t1_ - t0)
         t0 = t1_
@@ -289,13 +286,13 @@ def do_ccsd_spatial(
             rep.write(" Convergence reached within tolerance.")
             rep.write(f" Final CCSD Energy (Hartree): {energy:15.12f}")
             break
-        # DIIS over concatenated (t1, t2) (ccsd.f90:617-676)
-        flat = jnp.concatenate([t1.ravel(), t2.ravel()])
-        err = jnp.concatenate([(t1 - t1_s).ravel(), (t2 - t2_s).ravel()])
-        extrap = diis.update(flat, err)
-        if extrap is not None:
-            t1 = extrap[: nocc * nvirt].reshape(nocc, nvirt)
-            t2 = extrap[nocc * nvirt :].reshape(nocc, nocc, nvirt, nvirt)
+
+    # On convergence the reference keeps the unextrapolated final
+    # amplitudes (ccsd.f90:365-393); t1_in/t2_in are the pre-update pair
+    # consumed by build_cr_ccsd_t_intermediates (stale I_vo/asym_t2).
+    t1 = state.t1_raw if converged else state.t1
+    t2 = state.t2_raw if converged else state.t2
+    t1_prev, t2_prev = state.t1_in, state.t2_in
 
     t1_diag = 0.0
     if converged:

@@ -207,25 +207,25 @@ def do_ccsd_spinorb(
     t2 = v.oovv / D_ijab  # MP1 guess (ccsd.f90:523)
     rep.write(" Forming initial amplitude guesses...")
 
-    diis = Diis(cfg.ccsd_diis_n_errmat, nocc * nvirt + (nocc * nvirt) ** 2)
+    from ..ops.cc_step import init_cc_state, make_fused_cc_step
+
+    step = make_fused_cc_step(ccsd_spinorb_iteration, cc_energy_spinorb)
 
     rep.write(" Initialisation done, now entering iterative CC solver...")
-    t2_old = jnp.zeros_like(t2)
-    e, r2 = cc_energy_spinorb(t1, t2, t2_old, v.oovv)
+    e, r2 = cc_energy_spinorb(t1, t2, jnp.zeros_like(t2), v.oovv)
     energy, rms2 = float(e), float(r2)
-    t2_old = t2
     rep.cc_table_header()
     rep.cc_row("MP1", energy, energy, rms2)
 
+    state = init_cc_state(t1, t2, cfg.ccsd_diis_n_errmat)
     converged = False
     t0 = time.perf_counter()
     it = 0
     for it in range(1, cfg.ccsd_maxiter + 1):
-        t1_s, t2_s = t1, t2
-        t1, t2 = ccsd_spinorb_iteration(t1, t2, v, D_ia, D_ijab)
-        e, r2 = cc_energy_spinorb(t1, t2, t2_old, v.oovv)
+        state, e, r2 = step(
+            state, v, D_ia, D_ijab, v.oovv, nerr=cfg.ccsd_diis_n_errmat
+        )
         energy_old, energy, rms2 = energy, float(e), float(r2)
-        t2_old = t2
         t1_ = time.perf_counter()
         rep.cc_row(it, energy, energy - energy_old, rms2, t1_ - t0)
         t0 = t1_
@@ -235,17 +235,15 @@ def do_ccsd_spinorb(
             rep.write(" Convergence reached within tolerance.")
             rep.write(f" Final CCSD Energy (Hartree): {energy:15.12f}")
             break
-        flat = jnp.concatenate([t1.ravel(), t2.ravel()])
-        err = jnp.concatenate([(t1 - t1_s).ravel(), (t2 - t2_s).ravel()])
-        extrap = diis.update(flat, err)
-        if extrap is not None:
-            t1 = extrap[: nocc * nvirt].reshape(nocc, nvirt)
-            t2 = extrap[nocc * nvirt :].reshape(nocc, nocc, nvirt, nvirt)
 
+    # On convergence the reference returns the *unextrapolated* amplitudes
+    # of the final iteration (ccsd.f90:252-268)
+    t1_out = state.t1_raw if converged else state.t1
+    t2_out = state.t2_raw if converged else state.t2
     return CCSDSpinorbResult(
         e_ccsd=energy,
-        t1=np.asarray(t1),
-        t2=np.asarray(t2),
+        t1=np.asarray(t1_out),
+        t2=np.asarray(t2_out),
         converged=converged,
         iterations=it,
         slices=v,

@@ -113,9 +113,13 @@ def _triples_islice(
 
     if precision == "hybrid":
         f32 = jnp.float32
+        t1 = t1.astype(f32)
         t2 = t2.astype(f32)
         vovv = vovv.astype(f32)
         ovoo = ovoo.astype(f32)
+        oovv = oovv.astype(f32)
+        e_o = e_o.astype(f32)
+        e_v = e_v.astype(f32)
 
     t2_i = jnp.take(t2, i0, axis=0)  # t2[i0,k,:,:]   (o,v,v)
     t2_ci = jnp.take(t2, i0, axis=1)  # t2[m/j,i0,:,:] (o,v,v)
@@ -140,14 +144,14 @@ def _triples_islice(
         - es("mcb,majk->jkabc", t2_ci, dj(ovoo, 2))
         + es("mjcb,mak->jkabc", dj(t2, 1), ovoo_i3)
         + es("mkcb,maj->jkabc", t2, dj(ovoo_i4, 2))
-    ).astype(jnp.float64)
+    )
 
     # -- disconnected numerator (ccsd.f90:1878) --
     t3d = (
-        es("a,jkbc->jkabc", t1_i.astype(oovv.dtype), dj(oovv, 0))
-        - es("ja,kbc->jkabc", dj(t1, 0).astype(oovv.dtype), oovv_i)
-        - es("ka,jbc->jkabc", t1.astype(oovv.dtype), dj(oovv_ci, 0))
-    ).astype(jnp.float64)
+        es("a,jkbc->jkabc", t1_i, dj(oovv, 0))
+        - es("ja,kbc->jkabc", dj(t1, 0), oovv_i)
+        - es("ka,jbc->jkabc", t1, dj(oovv_ci, 0))
+    )
 
     def p_abc(x):
         return x - jnp.transpose(x, (0, 1, 3, 2, 4)) - jnp.transpose(x, (0, 1, 4, 3, 2))
@@ -163,7 +167,9 @@ def _triples_islice(
         - e_v[None, None, None, :, None]
         - e_v[None, None, None, None, :]
     )
-    return jnp.sum(t3c * (t3c + t3d) / D) / 36.0
+    # the reduction always accumulates in f64 (panel products are f32 in
+    # hybrid mode; errors cancel statistically — see module tests)
+    return jnp.sum(t3c * (t3c + t3d) / D, dtype=jnp.float64) / 36.0
 
 
 def do_ccsd_t_spinorb(
@@ -192,8 +198,9 @@ def do_ccsd_t_spinorb(
     # <fi||bc> slice: vovv; <ma||jk>: ovoo; <jk||bc>: oovv (ccsd.f90:1834-1835)
     vovv, ovoo, oovv = v.vovv, v.ovoo, v.oovv
 
-    # j-slab length bounds the ~26 live (jlen*o*v^3) transients to ~12 GB
-    jlen = max(1, min(nocc, int(10e9 / (26 * 8 * nocc * nvirt**3) + 1)))
+    # j-slab length bounds the ~26 live (jlen*o*v^3) transients to ~10 GB
+    el = 4 if precision == "hybrid" else 8
+    jlen = max(1, min(nocc, int(10e9 / (26 * el * nocc * nvirt**3) + 1)))
 
     total = 0.0
     args = (t1, t2, vovv, ovoo, oovv, e_o, e_v)

@@ -1,0 +1,109 @@
+"""Fused device-side CC iteration step.
+
+One XLA dispatch per CC iteration: amplitude update + energy/RMS +
+the full DIIS machinery (ring buffers, Gram matrix, bordered solve,
+extrapolation) all stay on device; only the two convergence scalars
+cross to the host each iteration.  This replaces the reference's
+per-iteration choreography of BLAS calls + LAPACK dsysv
+(ccsd.f90:339-396, 617-676) with a single compiled program.
+
+The DIIS linear system is solved at fixed size (n_errmat+1) with
+inactive slots masked to identity rows, which is algebraically identical
+to the reference's growing-size dsysv solve (hf.f90:216-233 semantics).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class CCState(NamedTuple):
+    t1: jnp.ndarray  # current (extrapolated) amplitudes
+    t2: jnp.ndarray
+    t1_raw: jnp.ndarray  # last un-extrapolated update (returned on convergence)
+    t2_raw: jnp.ndarray
+    t1_in: jnp.ndarray  # amplitudes that fed the last iteration (the
+    t2_in: jnp.ndarray  # "stale" pair the CR-CC intermediates consume)
+    t2_old: jnp.ndarray  # for the RMS (ccsd.f90:1776)
+    diis_T: jnp.ndarray  # (nerr, size) amplitude history
+    diis_E: jnp.ndarray  # (nerr, size) error history
+    slot: jnp.ndarray  # int32 ring position
+    n_active: jnp.ndarray  # int32
+
+
+def init_cc_state(t1, t2, n_errmat: int) -> CCState:
+    size = t1.size + t2.size
+    return CCState(
+        t1=t1,
+        t2=t2,
+        t1_raw=t1,
+        t2_raw=t2,
+        t1_in=t1,
+        t2_in=t2,
+        t2_old=t2,
+        diis_T=jnp.zeros((n_errmat, size)),
+        diis_E=jnp.zeros((n_errmat, size)),
+        slot=jnp.int32(-1),
+        n_active=jnp.int32(0),
+    )
+
+
+def make_fused_cc_step(iteration_fn, energy_fn):
+    """Build a jitted one-dispatch CC step.
+
+    iteration_fn(t1, t2, v, D_ia, D_ijab) -> (t1_new, t2_new)
+    energy_fn(t1, t2, t2_old, oovv)       -> (energy, rms2)
+    """
+
+    @partial(jax.jit, static_argnames=("nerr",))
+    def step(state: CCState, v, D_ia, D_ijab, oovv, *, nerr: int):
+        t1n, t2n = iteration_fn(state.t1, state.t2, v, D_ia, D_ijab)
+        e, rms2 = energy_fn(t1n, t2n, state.t2_old, oovv)
+
+        # ---- DIIS update (ccsd.f90:617-676) ----
+        flat = jnp.concatenate([t1n.ravel(), t2n.ravel()])
+        snap = jnp.concatenate([state.t1.ravel(), state.t2.ravel()])
+        err = flat - snap
+        slot = (state.slot + 1) % nerr
+        n = jnp.minimum(state.n_active + 1, nerr)
+        T = state.diis_T.at[slot].set(flat)
+        E = state.diis_E.at[slot].set(err)
+
+        gram = E @ E.T
+        active = jnp.arange(nerr) < n
+        both = active[:, None] & active[None, :]
+        M = jnp.zeros((nerr + 1, nerr + 1))
+        M = M.at[:nerr, :nerr].set(
+            jnp.where(both, gram, jnp.eye(nerr))
+        )
+        M = M.at[nerr, :nerr].set(jnp.where(active, -1.0, 0.0))
+        M = M.at[:nerr, nerr].set(jnp.where(active, -1.0, 0.0))
+        rhs = jnp.zeros(nerr + 1).at[nerr].set(-1.0)
+        c = jnp.linalg.solve(M, rhs)[:nerr]
+        extrap = c @ T
+
+        use = n >= 2
+        new_flat = jnp.where(use, extrap, flat)
+        t1e = new_flat[: t1n.size].reshape(t1n.shape)
+        t2e = new_flat[t1n.size :].reshape(t2n.shape)
+
+        new_state = CCState(
+            t1=t1e,
+            t2=t2e,
+            t1_raw=t1n,
+            t2_raw=t2n,
+            t1_in=state.t1,
+            t2_in=state.t2,
+            t2_old=t2n,
+            diis_T=T,
+            diis_E=E,
+            slot=slot,
+            n_active=n,
+        )
+        return new_state, e, rms2
+
+    return step
