@@ -56,7 +56,10 @@ class CCSDSpinorbResult:
     slices: SpinSlices
 
 
-def make_spin_slices(eri_mo: jnp.ndarray, nocc_spatial: int) -> SpinSlices:
+@partial(jax.jit, static_argnames=("nocc_spatial",))
+def make_spin_slices(eri_mo: jnp.ndarray, *, nocc_spatial: int) -> SpinSlices:
+    """All nine antisymmetrised slices in ONE compiled program — the
+    unjitted version costs ~500 dispatches of tunnel latency."""
     s = lambda b: spinorb_slice(eri_mo, b, nocc_spatial)
     return SpinSlices(
         oooo=s("oooo"),
@@ -192,7 +195,7 @@ def do_ccsd_spinorb(
     rep.write(" Forming antisymmetrised spinorbital ERIs...")
 
     nocc, nvirt = sys_.nocc, sys_.nvirt  # spin-orbital counts
-    v = make_spin_slices(eri_mo, sys_.nel // 2)
+    v = make_spin_slices(eri_mo, nocc_spatial=sys_.nel // 2)
     rep.write(f" Time taken: {time.perf_counter() - t0_stage:8.6f} s")
     rep.write("")
     rep.write(" Forming slices of antisymmetrised spinorbital ERIs")

@@ -52,6 +52,27 @@ def init_cc_state(t1, t2, n_errmat: int) -> CCState:
     )
 
 
+def gauss_solve(M, rhs):
+    """f64 Gauss-Jordan solve with partial pivoting for the tiny DIIS
+    system — TPU XLA implements LuDecomposition only for f32/c64, so
+    jnp.linalg.solve cannot be used in f64 inside the fused step."""
+    n = M.shape[0]
+    A = jnp.concatenate([M, rhs[:, None]], axis=1)
+
+    def body(k, A):
+        col = jnp.abs(A[:, k])
+        col = jnp.where(jnp.arange(n) < k, -jnp.inf, col)
+        p = jnp.argmax(col)
+        rk, rp = A[k], A[p]
+        A = A.at[k].set(rp).at[p].set(rk)
+        factors = A[:, k] / A[k, k]
+        factors = factors.at[k].set(0.0)
+        return A - factors[:, None] * A[k][None, :]
+
+    A = jax.lax.fori_loop(0, n, body, A)
+    return A[:, n] / jnp.diagonal(A[:, :n])
+
+
 def make_fused_cc_step(iteration_fn, energy_fn):
     """Build a jitted one-dispatch CC step.
 
@@ -83,7 +104,7 @@ def make_fused_cc_step(iteration_fn, energy_fn):
         M = M.at[nerr, :nerr].set(jnp.where(active, -1.0, 0.0))
         M = M.at[:nerr, nerr].set(jnp.where(active, -1.0, 0.0))
         rhs = jnp.zeros(nerr + 1).at[nerr].set(-1.0)
-        c = jnp.linalg.solve(M, rhs)[:nerr]
+        c = gauss_solve(M, rhs)[:nerr]
         extrap = c @ T
 
         use = n >= 2

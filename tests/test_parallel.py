@@ -23,7 +23,7 @@ def test_sharded_triples_matches_single(sample_data, tmp_path):
     sys_, ints, cfg, hf, mp2, cc, _ = run_pipeline(
         sample_data, tmp_path, "h2o-cc-pvdz/1.80_104.45"
     )
-    slices = make_spin_slices(mp2.eri_mo, sys_.nel // 2)
+    slices = make_spin_slices(mp2.eri_mo, nocc_spatial=sys_.nel // 2)
     t1 = jnp.asarray(spin_expand_t1(cc.t1))
     t2 = jnp.asarray(spin_expand_t2(cc.t2))
     lv = spinorb_levels(jnp.asarray(hf.levels), sys_.nel // 2)

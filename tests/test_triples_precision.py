@@ -26,7 +26,7 @@ def test_hybrid_matches_f64(sample_data, tmp_path):
         nocc=sys_.nel,
         nvirt=(sys_.nbasis - sys_.nel // 2) * 2,
     )
-    slices = make_spin_slices(mp2.eri_mo, sys_.nel // 2)
+    slices = make_spin_slices(mp2.eri_mo, nocc_spatial=sys_.nel // 2)
     so_cc = CCSDSpinorbResult(
         e_ccsd=0.0,
         t1=spin_expand_t1(cc.t1),
