@@ -63,6 +63,9 @@ class Config:
     write_fcidump: bool = False
     scf_read_guess: bool = False
     scf_write_guess: bool = False
+    # New (not in the reference): CC amplitude checkpoint/restart
+    ccsd_read_amplitudes: bool = False
+    ccsd_write_amplitudes: bool = False
 
     # Raw text of the input file (echoed into the output, integrals.f90:240-249)
     raw_text: str = ""
@@ -144,7 +147,13 @@ def parse_els_in(text: str) -> Config:
             "ccsd_maxiter",
         ):
             setattr(cfg, key, int(v))
-        elif key in ("write_fcidump", "scf_read_guess", "scf_write_guess"):
+        elif key in (
+            "write_fcidump",
+            "scf_read_guess",
+            "scf_write_guess",
+            "ccsd_read_amplitudes",
+            "ccsd_write_amplitudes",
+        ):
             setattr(cfg, key, bool(v))
         # unknown keys are ignored (the Fortran namelist would reject them,
         # but being lenient here costs nothing)

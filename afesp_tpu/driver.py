@@ -10,6 +10,7 @@ with the reference's timing lines and final energy-breakdown table
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from pathlib import Path
 
@@ -49,6 +50,14 @@ def run_calculation(
     workdir = Path(workdir)
     t_glob = time.perf_counter()
 
+    # optional jax.profiler trace (the TPU analog of the reference's
+    # system_clock instrumentation, SURVEY.md section 5)
+    profile_dir = os.environ.get("AFESP_JAX_PROFILE")
+    if profile_dir:
+        import jax
+
+        jax.profiler.start_trace(profile_dir)
+
     rep.banner()
     t0 = time.perf_counter()
     if cfg is None:
@@ -84,7 +93,7 @@ def run_calculation(
         if cfg.wants_ccsd:
             if cfg.restricted:
                 t_cc = time.perf_counter()
-                cc = do_ccsd_spatial(sys_, mp2.eri_mo, cfg, hf, rep)
+                cc = do_ccsd_spatial(sys_, mp2.eri_mo, cfg, hf, rep, workdir)
                 rep.stage_time(
                     "Time taken for restricted CCSD:", time.perf_counter() - t_cc
                 )
@@ -98,7 +107,7 @@ def run_calculation(
                     calcname = tr.calcname
             else:
                 t_cc = time.perf_counter()
-                cc = do_ccsd_spinorb(sys_, mp2.eri_mo, cfg, hf, rep)
+                cc = do_ccsd_spinorb(sys_, mp2.eri_mo, cfg, hf, rep, workdir)
                 rep.stage_time(
                     "Time taken for unrestricted CCSD:", time.perf_counter() - t_cc
                 )
@@ -111,6 +120,10 @@ def run_calculation(
 
     _final_breakdown(rep, res, calcname)
     rep.finish(time.perf_counter() - t_glob)
+    if profile_dir:
+        import jax
+
+        jax.profiler.stop_trace()
     return res
 
 

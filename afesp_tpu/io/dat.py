@@ -176,3 +176,14 @@ def write_scf_guess(path: str | Path, ao_fock: np.ndarray) -> None:
         for i in range(n):
             for j in range(n):
                 f.write(f"{i+1} {j+1} {_fortran_es16_9(ao_fock[i, j])}\n")
+
+
+def read_amplitudes(path: str | Path):
+    """CC amplitude restart file (npz with t1, t2) — a new capability
+    beyond the reference's SCF-guess-only checkpointing."""
+    data = np.load(path)
+    return data["t1"], data["t2"]
+
+
+def write_amplitudes(path: str | Path, t1, t2) -> None:
+    np.savez_compressed(path, t1=np.asarray(t1), t2=np.asarray(t2))

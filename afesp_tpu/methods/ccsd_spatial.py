@@ -236,7 +236,9 @@ def do_ccsd_spatial(
     cfg: Config,
     hf: HFResult,
     rep: Reporter | None = None,
+    workdir=".",
 ) -> CCSDResult:
+    from pathlib import Path
     rep = rep or Reporter()
     rep.section("CCSD")
     t_stage = time.perf_counter()
@@ -251,8 +253,14 @@ def do_ccsd_spatial(
     D_ia, D_ijab = denominators(levels, nocc)
 
     rep.write(" Forming initial amplitude guesses...")
-    t1 = jnp.zeros((nocc, nvirt))
-    t2 = v.v_oovv / D_ijab  # MP1 (ccsd.f90:521)
+    amp_in = Path(workdir) / "amplitudes_in.npz"
+    if cfg.ccsd_read_amplitudes and amp_in.exists():
+        rep.write(" Reading previous CC amplitudes as guess...")
+        t1_np, t2_np = dat.read_amplitudes(amp_in)
+        t1, t2 = jnp.asarray(t1_np), jnp.asarray(t2_np)
+    else:
+        t1 = jnp.zeros((nocc, nvirt))
+        t2 = v.v_oovv / D_ijab  # MP1 (ccsd.f90:521)
     rep.write(" Allocating stored intermediate tensors...")
 
     from ..ops.cc_step import init_cc_state, make_fused_cc_step
@@ -293,6 +301,9 @@ def do_ccsd_spatial(
     t1 = state.t1_raw if converged else state.t1
     t2 = state.t2_raw if converged else state.t2
     t1_prev, t2_prev = state.t1_in, state.t2_in
+    if cfg.ccsd_write_amplitudes and converged:
+        rep.write(" Writing CC amplitudes for future use...")
+        dat.write_amplitudes(Path(workdir) / "amplitudes_out.npz", t1, t2)
 
     t1_diag = 0.0
     if converged:

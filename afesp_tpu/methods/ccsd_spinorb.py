@@ -188,7 +188,9 @@ def do_ccsd_spinorb(
     cfg: Config,
     hf: HFResult,
     rep: Reporter | None = None,
+    workdir=".",
 ) -> CCSDSpinorbResult:
+    from pathlib import Path
     rep = rep or Reporter()
     rep.section("CCSD")
     t0_stage = time.perf_counter()
@@ -206,8 +208,14 @@ def do_ccsd_spinorb(
     levels_so = spinorb_levels(jnp.asarray(hf.levels), sys_.nel // 2)
     D_ia, D_ijab = spinorb_denominators(levels_so, nocc)
     rep.write(" Allocating amplitude tensors...")
-    t1 = jnp.zeros((nocc, nvirt))
-    t2 = v.oovv / D_ijab  # MP1 guess (ccsd.f90:523)
+    amp_in = Path(workdir) / "amplitudes_in.npz"
+    if cfg.ccsd_read_amplitudes and amp_in.exists():
+        rep.write(" Reading previous CC amplitudes as guess...")
+        t1_np, t2_np = dat.read_amplitudes(amp_in)
+        t1, t2 = jnp.asarray(t1_np), jnp.asarray(t2_np)
+    else:
+        t1 = jnp.zeros((nocc, nvirt))
+        t2 = v.oovv / D_ijab  # MP1 guess (ccsd.f90:523)
     rep.write(" Forming initial amplitude guesses...")
 
     from ..ops.cc_step import init_cc_state, make_fused_cc_step
@@ -243,6 +251,9 @@ def do_ccsd_spinorb(
     # of the final iteration (ccsd.f90:252-268)
     t1_out = state.t1_raw if converged else state.t1
     t2_out = state.t2_raw if converged else state.t2
+    if cfg.ccsd_write_amplitudes and converged:
+        rep.write(" Writing CC amplitudes for future use...")
+        dat.write_amplitudes(Path(workdir) / "amplitudes_out.npz", t1_out, t2_out)
     return CCSDSpinorbResult(
         e_ccsd=energy,
         t1=np.asarray(t1_out),

@@ -1,0 +1,70 @@
+"""Auxiliary-subsystem tests: amplitude checkpointing and the
+binding-curve wrapper harness."""
+
+import io
+import shutil
+
+import numpy as np
+
+from afesp_tpu.config import read_els_in
+from afesp_tpu.io import dat
+from afesp_tpu.io.report import Reporter
+from afesp_tpu.methods.ccsd_spatial import do_ccsd_spatial
+from afesp_tpu.methods.hf import do_rhf
+from afesp_tpu.methods.mp2 import do_mp2_spatial
+
+
+def test_amplitude_checkpoint_restart(sample_data, tmp_path):
+    """Write amplitudes at convergence, restart from them: the restarted
+    run must converge in very few iterations to the same energy."""
+    d = sample_data / "f2-cc-pvdz/1.75_0.00"
+    cfg = read_els_in(d)
+    cfg.scf_write_guess = False
+    cfg.ccsd_write_amplitudes = True
+    sys_, ints = dat.read_integrals(d, cfg.restricted)
+    rep = Reporter(stream=io.StringIO())
+    hf = do_rhf(sys_, ints, cfg, rep, workdir=tmp_path)
+    mp2 = do_mp2_spatial(sys_, ints, cfg, hf, rep, workdir=tmp_path)
+    cc1 = do_ccsd_spatial(sys_, mp2.eri_mo, cfg, hf, rep, workdir=tmp_path)
+    assert (tmp_path / "amplitudes_out.npz").exists()
+    assert cc1.iterations > 5
+
+    shutil.move(tmp_path / "amplitudes_out.npz", tmp_path / "amplitudes_in.npz")
+    cfg.ccsd_read_amplitudes = True
+    cc2 = do_ccsd_spatial(sys_, mp2.eri_mo, cfg, hf, rep, workdir=tmp_path)
+    assert cc2.converged
+    assert cc2.iterations <= 3
+    assert abs(cc2.e_ccsd - cc1.e_ccsd) < 1e-7
+
+
+def test_binding_curve_wrapper(sample_data, tmp_path):
+    """Two-point water curve with native integral generation + guess
+    chaining — the els_wrapper.py workflow end to end."""
+    from afesp_tpu.utils.wrapper import binding_curve
+
+    els_in = (
+        '&elsinput\n'
+        'calc_type="CCSD_spatial",\n'
+        "scf_e_tol=1e-6,\nscf_d_tol=1e-7,\nscf_diis_n_errmat=6,\n"
+        "ccsd_e_tol=1e-6,\nccsd_t_tol=1e-7,\nccsd_diis_n_errmat=8,\n"
+        "scf_maxiter = 100,\nccsd_maxiter = 100,\n"
+        "write_fcidump = .false.,\nscf_read_guess = .true.,\n"
+        "scf_write_guess = .true.\n/\n"
+    )
+    table = binding_curve(
+        "h2o",
+        "fixture-def2-svp",
+        bl_lower=0.95,
+        bl_upper=1.00,
+        bl_step=0.05,
+        ang=104.45,
+        els_in_template=els_in,
+        outdir=tmp_path,
+    )
+    assert table.shape[0] == 2
+    # HF and CCSD totals present and physically sane near equilibrium
+    assert np.all(table[:, 2] < -75.0)
+    assert np.all(table[:, 4] < table[:, 2])  # CCSD below HF
+    point = tmp_path / "h2o-fixture-def2-svp" / "1.00_104.45"
+    assert (point / "els_energy.dat").exists()
+    assert (point / "guess_in.dat").exists()  # chained from the first point
