@@ -111,7 +111,7 @@ def _triples_islice(
     es = partial(jnp.einsum, optimize=True)
     dj = lambda x, ax: jax.lax.dynamic_slice_in_dim(x, j0, jlen, axis=ax)
 
-    if precision == "hybrid":
+    if precision in ("hybrid", "pallas"):
         f32 = jnp.float32
         t1 = t1.astype(f32)
         t2 = t2.astype(f32)
@@ -153,6 +153,23 @@ def _triples_islice(
         - es("ka,jbc->jkabc", t1, dj(oovv_ci, 0))
     )
 
+    eo_sum = e_o[i0] + jax.lax.dynamic_slice_in_dim(e_o, j0, jlen)[:, None] + e_o[None, :]
+
+    if precision == "pallas":
+        # fused VMEM finale: P(a/bc) + denominator + product + reduction
+        from ..ops.triples_pallas import triples_finale
+
+        nv = t3c.shape[-1]
+        return (
+            triples_finale(
+                t3c.reshape(-1, nv, nv, nv),
+                t3d.reshape(-1, nv, nv, nv),
+                eo_sum.reshape(-1),
+                e_v,
+            )
+            / 36.0
+        )
+
     def p_abc(x):
         return x - jnp.transpose(x, (0, 1, 3, 2, 4)) - jnp.transpose(x, (0, 1, 4, 3, 2))
 
@@ -160,9 +177,7 @@ def _triples_islice(
     t3d = p_abc(t3d)
 
     D = (
-        (e_o[i0] + jax.lax.dynamic_slice_in_dim(e_o, j0, jlen)[:, None] + e_o[None, :])[
-            :, :, None, None, None
-        ]
+        eo_sum[:, :, None, None, None]
         - e_v[None, None, :, None, None]
         - e_v[None, None, None, :, None]
         - e_v[None, None, None, None, :]
