@@ -34,7 +34,6 @@ import numpy as np
 from ..config import Config
 from ..io import dat
 from ..io.report import Reporter
-from ..ops.linalg import Diis
 from .hf import HFResult
 
 

@@ -27,7 +27,6 @@ import numpy as np
 from ..config import Config
 from ..io import dat
 from ..io.report import Reporter
-from ..ops.linalg import Diis
 from ..ops.spin import spinorb_levels, spinorb_slice
 from .hf import HFResult
 

@@ -100,10 +100,11 @@ def _triples_islice(
 
     precision:
       "f64"    — XLA-emulated f64 GEMMs everywhere (bit-for-bit safe)
-      "hybrid" — the six O(v^3)-per-triple contractions run on the MXU in
-        f32 (inputs are exactly representable to ~6e-8 relative); all
-        permutation algebra, denominators, and the energy reduction stay
-        f64.  Because t3c enters the energy quadratically and the ~1e9
+      "hybrid" — the six O(v^3)-per-triple contractions and the P(a/bc)
+        permutation algebra run in f32 on the MXU (inputs are exactly
+        representable to ~6e-8 relative); the denominator D and the
+        energy reduction stay f64.  Because t3c enters the energy
+        quadratically and the ~1e9
         per-element rounding errors cancel statistically, the end-to-end
         E(T) shift is ~1e-10 Ha (validated against the f64 path in
         tests/test_triples_precision.py) — far inside the 1e-8 contract.
@@ -112,14 +113,15 @@ def _triples_islice(
     dj = lambda x, ax: jax.lax.dynamic_slice_in_dim(x, j0, jlen, axis=ax)
 
     if precision in ("hybrid", "pallas"):
+        # cast only the GEMM operands to f32; e_o/e_v (and hence the
+        # denominator D and the energy reduction) stay f64 so small-gap
+        # systems cannot lose the 1e-8 contract to an f32 denominator
         f32 = jnp.float32
         t1 = t1.astype(f32)
         t2 = t2.astype(f32)
         vovv = vovv.astype(f32)
         ovoo = ovoo.astype(f32)
         oovv = oovv.astype(f32)
-        e_o = e_o.astype(f32)
-        e_v = e_v.astype(f32)
 
     t2_i = jnp.take(t2, i0, axis=0)  # t2[i0,k,:,:]   (o,v,v)
     t2_ci = jnp.take(t2, i0, axis=1)  # t2[m/j,i0,:,:] (o,v,v)
@@ -164,8 +166,8 @@ def _triples_islice(
             triples_finale(
                 t3c.reshape(-1, nv, nv, nv),
                 t3d.reshape(-1, nv, nv, nv),
-                eo_sum.reshape(-1),
-                e_v,
+                eo_sum.reshape(-1).astype(jnp.float32),
+                e_v.astype(jnp.float32),
             )
             / 36.0
         )
@@ -193,7 +195,6 @@ def do_ccsd_t_spinorb(
     cfg: Config,
     levels: np.ndarray,
     rep: Reporter | None = None,
-    chunk: int = 0,
     precision: str = "hybrid",
 ) -> float:
     """Returns e_ccsd_t = e_ccsd + E(T) (ccsd.f90:1917)."""

@@ -1,3 +1,2 @@
-from .linalg import Diis, symmetric_orthogonaliser
-
-__all__ = ["Diis", "symmetric_orthogonaliser"]
+"""Device-side building blocks: spin-orbital slicing, fused CC step
+(amplitude update + DIIS in one dispatch), and the Pallas triples kernel."""

@@ -55,7 +55,13 @@ def init_cc_state(t1, t2, n_errmat: int) -> CCState:
 def gauss_solve(M, rhs):
     """f64 Gauss-Jordan solve with partial pivoting for the tiny DIIS
     system — TPU XLA implements LuDecomposition only for f32/c64, so
-    jnp.linalg.solve cannot be used in f64 inside the fused step."""
+    jnp.linalg.solve cannot be used in f64 inside the fused step.
+
+    Returns (x, ok): ok is False when a pivot is (near-)zero, i.e. the
+    Gram matrix is singular to working precision.  Callers fall back to
+    the unextrapolated amplitudes in that case, mirroring the host DIIS
+    path's lstsq fallback — a ~0 pivot would otherwise inject inf/NaN
+    into the extrapolation and silently poison subsequent iterations."""
     n = M.shape[0]
     A = jnp.concatenate([M, rhs[:, None]], axis=1)
 
@@ -65,12 +71,19 @@ def gauss_solve(M, rhs):
         p = jnp.argmax(col)
         rk, rp = A[k], A[p]
         A = A.at[k].set(rp).at[p].set(rk)
-        factors = A[:, k] / A[k, k]
+        piv = A[k, k]
+        # guard the division; a tiny pivot flips `ok` below instead
+        safe = jnp.where(jnp.abs(piv) > 0.0, piv, 1.0)
+        factors = A[:, k] / safe
         factors = factors.at[k].set(0.0)
         return A - factors[:, None] * A[k][None, :]
 
     A = jax.lax.fori_loop(0, n, body, A)
-    return A[:, n] / jnp.diagonal(A[:, :n])
+    diag = jnp.diagonal(A[:, :n])
+    scale = jnp.max(jnp.abs(M))
+    ok = jnp.min(jnp.abs(diag)) > n * jnp.finfo(M.dtype).eps * jnp.maximum(scale, 1e-300)
+    safe_diag = jnp.where(jnp.abs(diag) > 0.0, diag, 1.0)
+    return A[:, n] / safe_diag, ok
 
 
 def make_fused_cc_step(iteration_fn, energy_fn):
@@ -104,10 +117,10 @@ def make_fused_cc_step(iteration_fn, energy_fn):
         M = M.at[nerr, :nerr].set(jnp.where(active, -1.0, 0.0))
         M = M.at[:nerr, nerr].set(jnp.where(active, -1.0, 0.0))
         rhs = jnp.zeros(nerr + 1).at[nerr].set(-1.0)
-        c = gauss_solve(M, rhs)[:nerr]
-        extrap = c @ T
+        c, solve_ok = gauss_solve(M, rhs)
+        extrap = c[:nerr] @ T
 
-        use = n >= 2
+        use = (n >= 2) & solve_ok
         new_flat = jnp.where(use, extrap, flat)
         t1e = new_flat[: t1n.size].reshape(t1n.shape)
         t2e = new_flat[t1n.size :].reshape(t2n.shape)

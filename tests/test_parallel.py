@@ -13,6 +13,53 @@ def test_mesh_has_8_devices():
     assert len(jax.devices()) == 8
 
 
+def _random_spin_problem(no=4, nv=16, seed=0):
+    from afesp_tpu.methods.ccsd_spinorb import SpinSlices
+
+    rng = np.random.default_rng(seed)
+    o, v = no, nv
+    r = lambda *shape: jnp.asarray(rng.standard_normal(shape) * 0.05)
+    slices = SpinSlices(
+        oooo=r(o, o, o, o),
+        ooov=r(o, o, o, v),
+        ovoo=r(o, v, o, o),
+        oovo=r(o, o, v, o),
+        oovv=r(o, o, v, v),
+        ovvo=r(o, v, v, o),
+        ovvv=r(o, v, v, v),
+        vovv=r(v, o, v, v),
+        vvvv=r(v, v, v, v),
+    )
+    t1 = r(o, v) * 0.4
+    t2 = r(o, o, v, v) * 0.4
+    e = np.sort(rng.standard_normal(o + v))
+    e[o:] += 4.0
+    e_o, e_v = e[:o], e[o:]
+    D_ia = jnp.asarray(e_o[:, None] - e_v[None, :])
+    D_ijab = jnp.asarray(
+        e_o[:, None, None, None]
+        + e_o[None, :, None, None]
+        - e_v[None, None, :, None]
+        - e_v[None, None, None, :]
+    )
+    return t1, t2, slices, D_ia, D_ijab
+
+
+def test_sharded_ccsd_iteration_matches_unsharded():
+    """GSPMD virtual-axis sharding must be numerically inert: the sharded
+    CCSD iteration equals the single-device iteration to f64 roundoff."""
+    from afesp_tpu.methods.ccsd_spinorb import ccsd_spinorb_iteration
+    from afesp_tpu.parallel.ccsd_shard import ccsd_iteration_sharded
+
+    t1, t2, slices, D_ia, D_ijab = _random_spin_problem()
+    ref1, ref2 = ccsd_spinorb_iteration(t1, t2, slices, D_ia, D_ijab)
+
+    mesh = default_mesh(8)
+    sh1, sh2 = ccsd_iteration_sharded(mesh, t1, t2, slices, D_ia, D_ijab)
+    np.testing.assert_allclose(np.asarray(sh1), np.asarray(ref1), rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(sh2), np.asarray(ref2), rtol=0, atol=1e-12)
+
+
 def test_sharded_triples_matches_single(sample_data, tmp_path):
     from test_ccsd_spatial import run_pipeline
     from afesp_tpu.ops.spin import spin_expand_t1, spin_expand_t2
