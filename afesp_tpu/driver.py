@@ -43,12 +43,30 @@ class RunResult:
         return self.e_hf + self.e_highest + self.e_nuc
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compile cache (repeat runs skip the ~minute-scale
+    f64-program compiles).  Directory override: AFESP_JAX_CACHE; set it
+    empty to disable."""
+    cache = os.environ.get("AFESP_JAX_CACHE", str(Path(__file__).resolve().parent.parent / ".jax_cache"))
+    if not cache:
+        return
+    try:
+        import jax
+
+        Path(cache).mkdir(parents=True, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # best effort — an unwritable cache dir must not kill the run
+
+
 def run_calculation(
     workdir: str | Path = ".", rep: Reporter | None = None, cfg: Config | None = None
 ) -> RunResult:
     rep = rep or Reporter()
     workdir = Path(workdir)
     t_glob = time.perf_counter()
+    _enable_compile_cache()
 
     # optional jax.profiler trace (the TPU analog of the reference's
     # system_clock instrumentation, SURVEY.md section 5)
@@ -73,6 +91,11 @@ def run_calculation(
     rep.write(" Reading two-body integrals...")
     sys_, ints = dat.read_integrals(workdir, cfg.restricted)
     rep.write(" Done reading integrals!")
+    # compile-ahead: start prefetching the CC executables while the
+    # host-bound SCF/MP2 stages run
+    from . import warmup
+
+    warmup.start(sys_, cfg)
     rep.sys_info(sys_, ints, cfg)
     rep.stage_time(
         "Time taken for system initialisation:", time.perf_counter() - t0

@@ -229,6 +229,24 @@ def cc_energy_restricted(t1, t2, t2_old, v_oovv):
     return ecc, rms2
 
 
+# module-level singleton (see ccsd_spinorb.py for why)
+from ..ops.cc_step import init_cc_state, make_cc_solver  # noqa: E402
+
+ccsd_spatial_solver = make_cc_solver(ccsd_iteration, cc_energy_restricted)
+
+
+@partial(jax.jit, static_argnames=("nocc",))
+def spatial_cc_init(eri_mo, levels, *, nocc: int):
+    """Slices + denominators + MP1 guess + initial energy as ONE compiled
+    program (see spinorb_cc_init for why)."""
+    v = make_slices(eri_mo, nocc)
+    D_ia, D_ijab = denominators(levels, nocc)
+    t1 = jnp.zeros_like(D_ia)
+    t2 = v.v_oovv / D_ijab  # MP1 (ccsd.f90:521)
+    e0, r0 = cc_energy_restricted(t1, t2, jnp.zeros_like(t2), v.v_oovv)
+    return v, D_ia, D_ijab, t1, t2, e0, r0
+
+
 def do_ccsd_spatial(
     sys_: dat.System,
     eri_mo: jnp.ndarray,
@@ -238,6 +256,10 @@ def do_ccsd_spatial(
     workdir=".",
 ) -> CCSDResult:
     from pathlib import Path
+
+    from .. import warmup
+
+    warmup.join()  # if a compile-ahead prefetch is in flight, finish it
     rep = rep or Reporter()
     rep.section("CCSD")
     t_stage = time.perf_counter()
@@ -248,8 +270,7 @@ def do_ccsd_spatial(
 
     nocc, nvirt = sys_.nocc, sys_.nvirt
     levels = jnp.asarray(hf.levels)
-    v = make_slices(eri_mo, nocc)
-    D_ia, D_ijab = denominators(levels, nocc)
+    v, D_ia, D_ijab, t1, t2, e0, r0 = spatial_cc_init(eri_mo, levels, nocc=nocc)
 
     rep.write(" Forming initial amplitude guesses...")
     amp_in = Path(workdir) / "amplitudes_in.npz"
@@ -257,42 +278,49 @@ def do_ccsd_spatial(
         rep.write(" Reading previous CC amplitudes as guess...")
         t1_np, t2_np = dat.read_amplitudes(amp_in)
         t1, t2 = jnp.asarray(t1_np), jnp.asarray(t2_np)
-    else:
-        t1 = jnp.zeros((nocc, nvirt))
-        t2 = v.v_oovv / D_ijab  # MP1 (ccsd.f90:521)
+        e0, r0 = cc_energy_restricted(t1, t2, jnp.zeros_like(t2), v.v_oovv)
     rep.write(" Allocating stored intermediate tensors...")
 
-    from ..ops.cc_step import init_cc_state, make_fused_cc_step
-
-    step = make_fused_cc_step(ccsd_iteration, cc_energy_restricted)
+    solver = ccsd_spatial_solver
 
     rep.write(f" Time taken: {time.perf_counter() - t_stage:8.6f} s")
     rep.write("")
     rep.write(" Initialisation done, now entering iterative CC solver...")
 
-    e, rms2 = cc_energy_restricted(t1, t2, jnp.zeros_like(t2), v.v_oovv)
-    energy, rms2 = float(e), float(rms2)
+    energy = float(e0)
     rep.cc_table_header()
-    rep.cc_row("MP1", energy, energy, rms2)
+    rep.cc_row("MP1", energy, energy, float(r0))
 
     state = init_cc_state(t1, t2, cfg.ccsd_diis_n_errmat)
-    converged = False
-    t0 = time.perf_counter()
-    it = 0
-    for it in range(1, cfg.ccsd_maxiter + 1):
-        state, e, r2 = step(
-            state, v, D_ia, D_ijab, v.v_oovv, nerr=cfg.ccsd_diis_n_errmat
-        )
-        energy_old, energy, rms2 = energy, float(e), float(r2)
-        t1_ = time.perf_counter()
-        rep.cc_row(it, energy, energy - energy_old, rms2, t1_ - t0)
-        t0 = t1_
-        if np.sqrt(rms2) < cfg.ccsd_t_tol and abs(energy - energy_old) < cfg.ccsd_e_tol:
-            converged = True
-            rep.table_close()
-            rep.write(" Convergence reached within tolerance.")
-            rep.write(f" Final CCSD Energy (Hartree): {energy:15.12f}")
-            break
+    t_solve = time.perf_counter()
+    state, n_iter, done, hist_e, hist_rms = solver(
+        state,
+        v,
+        D_ia,
+        D_ijab,
+        v.v_oovv,
+        e0,
+        cfg.ccsd_e_tol,
+        cfg.ccsd_t_tol,
+        nerr=cfg.ccsd_diis_n_errmat,
+        maxiter=cfg.ccsd_maxiter,
+    )
+    it = int(n_iter)
+    converged = bool(done)
+    wall = time.perf_counter() - t_solve
+    hist_e = np.asarray(hist_e)
+    hist_rms = np.asarray(hist_rms)
+    per_iter = wall / max(it, 1)
+    prev = energy
+    for k in range(1, it + 1):
+        rep.cc_row(k, hist_e[k - 1], hist_e[k - 1] - prev, hist_rms[k - 1], per_iter)
+        prev = hist_e[k - 1]
+    if it:
+        energy = float(hist_e[it - 1])
+    if converged:
+        rep.table_close()
+        rep.write(" Convergence reached within tolerance.")
+        rep.write(f" Final CCSD Energy (Hartree): {energy:15.12f}")
 
     # On convergence the reference keeps the unextrapolated final
     # amplitudes (ccsd.f90:365-393); t1_in/t2_in are the pre-update pair

@@ -87,8 +87,7 @@ def _triples_chunk(ii, jj, kk, t1, t2, vovv, ovoo, oovv, e_o, e_v):
     )
 
 
-@partial(jax.jit, static_argnames=("jlen", "precision"))
-def _triples_islice(
+def _islice_energy(
     i0, j0, t1, t2, vovv, ovoo, oovv, e_o, e_v, *, jlen: int, precision: str = "f64"
 ):
     """E(T) contribution of the (i=i0, j in [j0, j0+jlen), all k) slab.
@@ -189,6 +188,41 @@ def _triples_islice(
     return jnp.sum(t3c * (t3c + t3d) / D, dtype=jnp.float64) / 36.0
 
 
+_triples_islice = partial(jax.jit, static_argnames=("jlen", "precision"))(
+    _islice_energy
+)
+
+
+@partial(jax.jit, static_argnames=("nocc", "jlen", "precision"))
+def _triples_total(
+    t1, t2, vovv, ovoo, oovv, e_o, e_v, *, nocc: int, jlen: int, precision: str
+):
+    """E(T) over the FULL (i, j-slab) grid as ONE compiled program
+    (lax.fori_loop over the slabs) — under a remote-tunnel TPU the
+    per-slab dispatch latency otherwise dominates the triples stage.
+    jlen must divide nocc (the caller picks the largest divisor within
+    the memory budget; nocc is even for any closed-shell system)."""
+    assert nocc % jlen == 0
+    nslab = nocc // jlen
+    args = (t1, t2, vovv, ovoo, oovv, e_o, e_v)
+
+    def body(idx, acc):
+        i0 = idx // nslab
+        j0 = (idx % nslab) * jlen
+        return acc + _islice_energy(i0, j0, *args, jlen=jlen, precision=precision)
+
+    return jax.lax.fori_loop(0, nocc * nslab, body, jnp.float64(0.0))
+
+
+def _pick_jlen(nocc: int, nvirt: int, precision: str) -> int:
+    """Largest divisor of nocc whose ~26 live (jlen*o*v^3) transients fit
+    in a ~10 GB HBM budget (nocc is even for closed-shell systems, so
+    divisors are never degenerate in practice)."""
+    el = 4 if precision in ("hybrid", "pallas") else 8
+    budget = max(1, min(nocc, int(10e9 / (26 * el * nocc * nvirt**3) + 1)))
+    return max(d for d in range(1, budget + 1) if nocc % d == 0)
+
+
 def do_ccsd_t_spinorb(
     sys_: dat.System,
     cc: CCSDSpinorbResult,
@@ -214,18 +248,12 @@ def do_ccsd_t_spinorb(
     # <fi||bc> slice: vovv; <ma||jk>: ovoo; <jk||bc>: oovv (ccsd.f90:1834-1835)
     vovv, ovoo, oovv = v.vovv, v.ovoo, v.oovv
 
-    # j-slab length bounds the ~26 live (jlen*o*v^3) transients to ~10 GB
-    el = 4 if precision == "hybrid" else 8
-    jlen = max(1, min(nocc, int(10e9 / (26 * el * nocc * nvirt**3) + 1)))
+    jlen = _pick_jlen(nocc, nvirt, precision)
 
-    total = 0.0
     args = (t1, t2, vovv, ovoo, oovv, e_o, e_v)
-    for i0 in range(nocc):
-        for j0 in range(0, nocc, jlen):
-            jl = min(jlen, nocc - j0)
-            total += float(
-                _triples_islice(i0, j0, *args, jlen=jl, precision=precision)
-            )
+    total = float(
+        _triples_total(*args, nocc=nocc, jlen=jlen, precision=precision)
+    )
 
     e_ccsd_t = total + cc.e_ccsd
     rep.write(

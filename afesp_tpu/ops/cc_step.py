@@ -86,14 +86,10 @@ def gauss_solve(M, rhs):
     return A[:, n] / safe_diag, ok
 
 
-def make_fused_cc_step(iteration_fn, energy_fn):
-    """Build a jitted one-dispatch CC step.
+def _make_step_body(iteration_fn, energy_fn):
+    """The un-jitted one-iteration body shared by the per-step and the
+    whole-solve (while_loop) entry points."""
 
-    iteration_fn(t1, t2, v, D_ia, D_ijab) -> (t1_new, t2_new)
-    energy_fn(t1, t2, t2_old, oovv)       -> (energy, rms2)
-    """
-
-    @partial(jax.jit, static_argnames=("nerr",))
     def step(state: CCState, v, D_ia, D_ijab, oovv, *, nerr: int):
         t1n, t2n = iteration_fn(state.t1, state.t2, v, D_ia, D_ijab)
         e, rms2 = energy_fn(t1n, t2n, state.t2_old, oovv)
@@ -141,3 +137,63 @@ def make_fused_cc_step(iteration_fn, energy_fn):
         return new_state, e, rms2
 
     return step
+
+
+def make_fused_cc_step(iteration_fn, energy_fn):
+    """Build a jitted one-dispatch CC step.
+
+    iteration_fn(t1, t2, v, D_ia, D_ijab) -> (t1_new, t2_new)
+    energy_fn(t1, t2, t2_old, oovv)       -> (energy, rms2)
+    """
+    return partial(jax.jit, static_argnames=("nerr",))(
+        _make_step_body(iteration_fn, energy_fn)
+    )
+
+
+def make_cc_solver(iteration_fn, energy_fn):
+    """Build a jitted whole-solve: the complete DIIS-accelerated CC fixed
+    point iteration as ONE compiled program (lax.while_loop), with the
+    per-iteration convergence test on device.
+
+    Rationale: under a remote-tunnel TPU every dispatch and every scalar
+    readout costs ~50 ms of latency; the reference's loop structure
+    (ccsd.f90:339-396) maps to one dispatch per *solve*, not per
+    iteration.  The per-iteration (energy, rms) pairs are recorded into
+    fixed-size history arrays so the host can print the reference's
+    convergence table afterwards.
+
+    Semantics identical to looping make_fused_cc_step on the host:
+      converged when sqrt(rms2) < t_tol AND |e - e_old| < e_tol, checked
+      after each iteration (e_old starts at the MP1 energy e0).
+
+    solve(state0, v, D_ia, D_ijab, oovv, e0, e_tol, t_tol,
+          nerr=..., maxiter=...) ->
+        (state, n_iter, converged, hist_e, hist_rms)
+    where hist_e/hist_rms are (maxiter,) arrays valid for the first
+    n_iter entries.
+    """
+    body_step = _make_step_body(iteration_fn, energy_fn)
+
+    @partial(jax.jit, static_argnames=("nerr", "maxiter"))
+    def solve(state0, v, D_ia, D_ijab, oovv, e0, e_tol, t_tol, *, nerr, maxiter):
+        hist_e = jnp.zeros(maxiter)
+        hist_rms = jnp.zeros(maxiter)
+
+        def cond(carry):
+            _, it, _, done, _, _ = carry
+            return (it < maxiter) & ~done
+
+        def body(carry):
+            state, it, e_old, _, hist_e, hist_rms = carry
+            state, e, rms2 = body_step(state, v, D_ia, D_ijab, oovv, nerr=nerr)
+            done = (jnp.sqrt(rms2) < t_tol) & (jnp.abs(e - e_old) < e_tol)
+            hist_e = hist_e.at[it].set(e)
+            hist_rms = hist_rms.at[it].set(rms2)
+            return state, it + 1, e, done, hist_e, hist_rms
+
+        state, n_iter, _, done, hist_e, hist_rms = jax.lax.while_loop(
+            cond, body, (state0, jnp.int32(0), e0, jnp.bool_(False), hist_e, hist_rms)
+        )
+        return state, n_iter, done, hist_e, hist_rms
+
+    return solve

@@ -12,6 +12,7 @@ from pathlib import Path
 # interpreter startup, so env vars alone don't stick: override via the
 # config API before any backend is initialised.
 os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["AFESP_JAX_CACHE"] = ""  # don't litter the repo cache with CPU builds
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
