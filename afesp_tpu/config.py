@@ -66,6 +66,12 @@ class Config:
     # New (not in the reference): CC amplitude checkpoint/restart
     ccsd_read_amplitudes: bool = False
     ccsd_write_amplitudes: bool = False
+    # New: spin-orbital CCSD F_oo form.  "code" reproduces the current
+    # reference binary (its F_mi tau~ contraction is transposed relative
+    # to Stanton Eq. 5 — a bug introduced after 2022-02); "paper" runs
+    # the literature equations, which match Psi4 and the reference's own
+    # older outputs (e.g. h2o-cc-pvdz/1.80_104.45/ref_out) to <1e-8 Ha.
+    ccsd_spinorb_equations: str = "code"
 
     # Raw text of the input file (echoed into the output, integrals.f90:240-249)
     raw_text: str = ""
@@ -155,6 +161,10 @@ def parse_els_in(text: str) -> Config:
             "ccsd_write_amplitudes",
         ):
             setattr(cfg, key, bool(v))
+        elif key == "ccsd_spinorb_equations":
+            if v not in ("code", "paper"):
+                raise ValueError(f"ccsd_spinorb_equations must be 'code' or 'paper', got {v!r}")
+            cfg.ccsd_spinorb_equations = v
         # unknown keys are ignored (the Fortran namelist would reject them,
         # but being lenient here costs nothing)
     return cfg

@@ -105,8 +105,7 @@ def tau_vvvv_blocked(tau, vvvv):
     return 0.5 * jnp.concatenate([top, bot], axis=2)
 
 
-@jax.jit
-def ccsd_spinorb_iteration(t1, t2, v: SpinSlices, D_ia, D_ijab):
+def _iteration_core(t1, t2, v: SpinSlices, D_ia, D_ijab, *, paper_foo: bool):
     es = partial(jnp.einsum, optimize=True)
 
     # -------- tau / tau~ (ccsd.f90:678-715) --------
@@ -119,10 +118,23 @@ def ccsd_spinorb_iteration(t1, t2, v: SpinSlices, D_ia, D_ijab):
     F_vv = es("mf,mafe->ae", t1, v.ovvv) + 0.5 * es(
         "mnaf,mnfe->ae", tau_tilde, v.oovv
     )
-    # code-faithful tau~ contraction (see module docstring)
-    F_oo = -es("ne,nmie->mi", t1, v.ooov) + 0.5 * es(
-        "mnef,inef->mi", tau_tilde, v.oovv
-    )
+    if paper_foo:
+        # Stanton Eq. 5: 0.5 tau~[i,n,e,f] <mn||ef>.  This is the form
+        # the reference's *2022-02 revision* ran (and what Psi4 solves):
+        # with it, CCSD on every committed fixture lands within 1e-8 of
+        # both Psi4's reference.dat and the old-revision ref_out —
+        # demonstrating the current code's transposed contraction below
+        # is a later-introduced bug, not an equivalent rearrangement.
+        F_oo = -es("ne,nmie->mi", t1, v.ooov) + 0.5 * es(
+            "inef,mnef->mi", tau_tilde, v.oovv
+        )
+    else:
+        # code-faithful tau~ contraction (ccsd.f90:792-795; see module
+        # docstring) — required to reproduce the committed els.out /
+        # els_cpu.out goldens, which were produced by the current code
+        F_oo = -es("ne,nmie->mi", t1, v.ooov) + 0.5 * es(
+            "mnef,inef->mi", tau_tilde, v.oovv
+        )
     F_ov = es("nf,mnef->me", t1, v.oovv)
 
     # -------- W intermediates (ccsd.f90:799-905) --------
@@ -192,6 +204,14 @@ def ccsd_spinorb_iteration(t1, t2, v: SpinSlices, D_ia, D_ijab):
     return t1_new, t2_new
 
 
+# Default: trajectory/golden parity with the current reference code.
+ccsd_spinorb_iteration = jax.jit(partial(_iteration_core, paper_foo=False))
+# Literature-correct equations (Stanton Eq. 5 F_mi) — matches Psi4 and
+# the reference's own 2022-02 outputs; selected by
+# `ccsd_spinorb_equations = "paper"` in els.in.
+ccsd_spinorb_iteration_paper = jax.jit(partial(_iteration_core, paper_foo=True))
+
+
 @jax.jit
 def cc_energy_spinorb(t1, t2, t2_old, oovv):
     """E = 1/4 sum <ij||ab> (t2 + 2 t1 t1) (ccsd.f90:1789-1799)."""
@@ -220,6 +240,9 @@ def spinorb_denominators(levels_so, nocc):
 from ..ops.cc_step import init_cc_state, make_cc_solver  # noqa: E402
 
 ccsd_spinorb_solver = make_cc_solver(ccsd_spinorb_iteration, cc_energy_spinorb)
+ccsd_spinorb_solver_paper = make_cc_solver(
+    ccsd_spinorb_iteration_paper, cc_energy_spinorb
+)
 
 
 @partial(jax.jit, static_argnames=("nocc_spatial",))
@@ -274,7 +297,11 @@ def do_ccsd_spinorb(
         e0, r0 = cc_energy_spinorb(t1, t2, jnp.zeros_like(t2), v.oovv)
     rep.write(" Forming initial amplitude guesses...")
 
-    solver = ccsd_spinorb_solver
+    solver = (
+        ccsd_spinorb_solver_paper
+        if cfg.ccsd_spinorb_equations == "paper"
+        else ccsd_spinorb_solver
+    )
 
     rep.write(" Initialisation done, now entering iterative CC solver...")
     energy = float(e0)

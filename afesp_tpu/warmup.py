@@ -29,11 +29,14 @@ def _dummy_levels(nbasis: int, nocc_spatial: int) -> np.ndarray:
     return np.concatenate([-np.arange(1, no + 1)[::-1] * 0.5, np.arange(1, nv + 1)])
 
 
-def _prefetch_spinorb(nbasis: int, nel: int, nerr: int, maxiter: int, triples: bool):
+def _prefetch_spinorb(
+    nbasis: int, nel: int, nerr: int, maxiter: int, triples: bool, equations: str
+):
     import jax.numpy as jnp
 
     from .methods.ccsd_spinorb import (
         ccsd_spinorb_solver,
+        ccsd_spinorb_solver_paper,
         spinorb_cc_init,
     )
     from .ops.cc_step import init_cc_state
@@ -45,7 +48,8 @@ def _prefetch_spinorb(nbasis: int, nel: int, nerr: int, maxiter: int, triples: b
         eri, levels, nocc_spatial=no_sp
     )
     state = init_cc_state(t1, t2, nerr)
-    st, n_iter, *_ = ccsd_spinorb_solver(
+    solver = ccsd_spinorb_solver_paper if equations == "paper" else ccsd_spinorb_solver
+    st, n_iter, *_ = solver(
         state, v, D_ia, D_ijab, v.oovv, e0, np.inf, np.inf, nerr=nerr, maxiter=maxiter
     )
     int(n_iter)  # block until the executable is resident
@@ -108,6 +112,7 @@ def start(sys_, cfg) -> None:
                     cfg.ccsd_diis_n_errmat,
                     cfg.ccsd_maxiter,
                     cfg.wants_triples,
+                    cfg.ccsd_spinorb_equations,
                 )
         except Exception:  # best-effort: a failed prefetch only loses time
             pass

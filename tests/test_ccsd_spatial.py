@@ -67,21 +67,58 @@ def test_ccsd_f2(sample_data, tmp_path):
     assert abs(cc.t1_diagnostic - 0.0137594955) < 1e-7
 
 
-def test_ccsd_h2o_pvdz_vs_psi4(sample_data, tmp_path):
-    sys_, ints, cfg, hf, mp2, cc, _ = run_pipeline(
-        sample_data, tmp_path, "h2o-cc-pvdz/1.80_104.45"
-    )
+def test_ccsd_h2o_pvdz_vs_ref_out_and_psi4(sample_data, tmp_path):
+    """The committed ref_out for this fixture is from the reference's
+    2022-02 revision, which ran the *spin-orbital* CCSD (its timing line
+    says "unrestricted CCSD" despite the CRCCSD(T)_spatial input) with
+    the literature F_mi (Stanton Eq. 5).  The current reference binary
+    transposed that contraction (ccsd.f90:792-795) — a bug that shifts
+    every converged CCSD energy by 1e-6..1e-5 Ha away from Psi4.  Run
+    the faithful configuration (spin-orbital path, paper equations):
+    it must land on BOTH the old-revision ref_out and Psi4 to 1e-8."""
+    import io
+
+    from afesp_tpu.methods.ccsd_spinorb import do_ccsd_spinorb
+
+    d = sample_data / "h2o-cc-pvdz/1.80_104.45"
+    cfg = read_els_in(d)
+    cfg.scf_write_guess = False
+    cfg.restricted = False
+    cfg.ccsd_spinorb_equations = "paper"
+    cfg.ccsd_e_tol = 1e-9
+    cfg.ccsd_t_tol = 1e-8
+    sys_, ints = dat.read_integrals(d, cfg.restricted)
+    rep = Reporter(stream=io.StringIO())
+    hf = do_rhf(sys_, ints, cfg, rep, workdir=tmp_path)
+    mp2 = do_mp2_spatial(sys_, ints, cfg, hf, rep, workdir=tmp_path)
+    cc = do_ccsd_spinorb(sys_, mp2.eri_mo, cfg, hf, rep, tmp_path)
     assert cc.converged
-    # reference.dat (Psi4): CCSD total -75.88792592638362; els: -75.8879259297.
-    # This is *stretched* water (1.80 A, ~2x equilibrium): a genuinely
-    # multireference point (T1 diag ~0.03) where the CC equations have
-    # multiple nearby solutions and the converged branch depends on the
-    # iteration history.  The committed ref_out is from an older code
-    # revision (spin-orbital path, different DIIS bookkeeping) that landed
-    # on the Psi4 branch; the current-code iteration map (which this
-    # package reproduces to 1e-16 per tests/test_ccsd_units.py, and which
-    # tracks the N2/F2 current-code trajectories to 1e-9) lands ~4e-5 away
-    # on this pathological fixture.  Assert we are on *a* CCSD solution in
-    # the right neighbourhood; exact-branch golden tests live in
-    # test_ccsd_n2 / test_ccsd_f2.
-    assert abs(cc.e_ccsd + hf.e_hf + ints.e_nuc - -75.8879259297) < 1e-4
+    total = cc.e_ccsd + hf.e_hf + ints.e_nuc
+    assert abs(total - -75.8879259297) < 1e-8  # ref_out:124
+    assert abs(total - -75.88792592638362) < 1e-8  # reference.dat (Psi4)
+
+
+def test_ccsd_paper_equations_match_psi4_f2(sample_data, tmp_path):
+    """Same check on a second fixture: paper-form spin-orbital CCSD must
+    agree with Psi4's independent CCSD (reference.dat) to 1e-8 — the
+    'code' form lands ~9e-6 away (the reproduced reference bug)."""
+    import io
+
+    from afesp_tpu.methods.ccsd_spinorb import do_ccsd_spinorb
+
+    d = sample_data / "f2-cc-pvdz/1.75_0.00"
+    cfg = read_els_in(d)
+    cfg.scf_write_guess = False
+    cfg.scf_read_guess = False
+    cfg.restricted = False
+    cfg.ccsd_spinorb_equations = "paper"
+    cfg.ccsd_e_tol = 1e-9
+    cfg.ccsd_t_tol = 1e-8
+    sys_, ints = dat.read_integrals(d, cfg.restricted)
+    rep = Reporter(stream=io.StringIO())
+    hf = do_rhf(sys_, ints, cfg, rep, workdir=tmp_path)
+    mp2 = do_mp2_spatial(sys_, ints, cfg, hf, rep, workdir=tmp_path)
+    cc = do_ccsd_spinorb(sys_, mp2.eri_mo, cfg, hf, rep, tmp_path)
+    assert cc.converged
+    total = cc.e_ccsd + hf.e_hf + ints.e_nuc
+    assert abs(total - -199.06630847929324) < 1e-8  # reference.dat (Psi4)
