@@ -72,6 +72,12 @@ class Config:
     # the literature equations, which match Psi4 and the reference's own
     # older outputs (e.g. h2o-cc-pvdz/1.80_104.45/ref_out) to <1e-8 Ha.
     ccsd_spinorb_equations: str = "code"
+    # New: CCSD arithmetic.  "f64" (default) runs every contraction in
+    # XLA-emulated f64; "hybrid" runs the dominant tau*<vv||vv> term as
+    # Ozaki-split f32 MXU GEMMs with chunked f64 accumulation (~25%
+    # faster iterations, converged energy within ~2e-9 Ha of f64 —
+    # tests/test_cc_solver.py::test_hybrid_precision_ccsd).
+    ccsd_precision: str = "f64"
 
     # Raw text of the input file (echoed into the output, integrals.f90:240-249)
     raw_text: str = ""
@@ -165,6 +171,10 @@ def parse_els_in(text: str) -> Config:
             if v not in ("code", "paper"):
                 raise ValueError(f"ccsd_spinorb_equations must be 'code' or 'paper', got {v!r}")
             cfg.ccsd_spinorb_equations = v
+        elif key == "ccsd_precision":
+            if v not in ("f64", "hybrid"):
+                raise ValueError(f"ccsd_precision must be 'f64' or 'hybrid', got {v!r}")
+            cfg.ccsd_precision = v
         # unknown keys are ignored (the Fortran namelist would reject them,
         # but being lenient here costs nothing)
     return cfg

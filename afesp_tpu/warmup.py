@@ -30,15 +30,17 @@ def _dummy_levels(nbasis: int, nocc_spatial: int) -> np.ndarray:
 
 
 def _prefetch_spinorb(
-    nbasis: int, nel: int, nerr: int, maxiter: int, triples: bool, equations: str
+    nbasis: int,
+    nel: int,
+    nerr: int,
+    maxiter: int,
+    triples: bool,
+    equations: str,
+    precision: str,
 ):
     import jax.numpy as jnp
 
-    from .methods.ccsd_spinorb import (
-        ccsd_spinorb_solver,
-        ccsd_spinorb_solver_paper,
-        spinorb_cc_init,
-    )
+    from .methods.ccsd_spinorb import get_spinorb_solver, spinorb_cc_init
     from .ops.cc_step import init_cc_state
 
     no_sp = nel // 2
@@ -48,7 +50,9 @@ def _prefetch_spinorb(
         eri, levels, nocc_spatial=no_sp
     )
     state = init_cc_state(t1, t2, nerr)
-    solver = ccsd_spinorb_solver_paper if equations == "paper" else ccsd_spinorb_solver
+    solver = get_spinorb_solver(
+        paper_foo=equations == "paper", vvvv_split=precision == "hybrid"
+    )
     st, n_iter, *_ = solver(
         state, v, D_ia, D_ijab, v.oovv, e0, np.inf, np.inf, nerr=nerr, maxiter=maxiter
     )
@@ -113,6 +117,7 @@ def start(sys_, cfg) -> None:
                     cfg.ccsd_maxiter,
                     cfg.wants_triples,
                     cfg.ccsd_spinorb_equations,
+                    cfg.ccsd_precision,
                 )
         except Exception:  # best-effort: a failed prefetch only loses time
             pass

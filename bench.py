@@ -68,6 +68,10 @@ def bench_real(workdir: Path):
     cfg = read_els_in(workdir)
     cfg.scf_read_guess = False
     cfg.scf_write_guess = False
+    # hybrid split-f32 vvvv: ~25% faster iterations, converged energy
+    # within ~2e-9 Ha of f64 (the accuracy gate below still enforces the
+    # 1e-8 contract against the reference run)
+    cfg.ccsd_precision = "hybrid"
     sys_, ints = dat.read_integrals(workdir, cfg.restricted)
     warmup.start(sys_, cfg)  # compile-ahead overlaps the HF/MP2 stages
     rep = Reporter(stream=io.StringIO())

@@ -115,3 +115,34 @@ def test_while_loop_solver_matches_host_loop():
     np.testing.assert_allclose(
         np.asarray(st.t2), np.asarray(host_state.t2), rtol=0, atol=1e-12
     )
+
+
+def test_hybrid_precision_ccsd(sample_data, tmp_path):
+    """ccsd_precision='hybrid' (Ozaki-split f32 vvvv GEMMs with chunked
+    f64 accumulation) must converge to the f64 answer within the 1e-8
+    contract, with the same iteration count."""
+    import io
+
+    from afesp_tpu.config import read_els_in
+    from afesp_tpu.io import dat
+    from afesp_tpu.io.report import Reporter
+    from afesp_tpu.methods.hf import do_rhf
+    from afesp_tpu.methods.mp2 import do_mp2_spatial
+    from afesp_tpu.methods.ccsd_spinorb import do_ccsd_spinorb
+
+    d = sample_data / "h2o-cc-pvdz/1.80_104.45"
+    results = {}
+    for prec in ("f64", "hybrid"):
+        cfg = read_els_in(d)
+        cfg.scf_write_guess = False
+        cfg.restricted = False
+        cfg.ccsd_precision = prec
+        sys_, ints = dat.read_integrals(d, cfg.restricted)
+        rep = Reporter(stream=io.StringIO())
+        hf = do_rhf(sys_, ints, cfg, rep, workdir=tmp_path)
+        mp2 = do_mp2_spatial(sys_, ints, cfg, hf, rep, workdir=tmp_path)
+        cc = do_ccsd_spinorb(sys_, mp2.eri_mo, cfg, hf, rep, tmp_path)
+        assert cc.converged
+        results[prec] = cc
+    assert abs(results["hybrid"].e_ccsd - results["f64"].e_ccsd) < 5e-9
+    assert results["hybrid"].iterations == results["f64"].iterations
