@@ -229,9 +229,20 @@ def do_ccsd_t_spinorb(
     cfg: Config,
     levels: np.ndarray,
     rep: Reporter | None = None,
-    precision: str = "hybrid",
+    precision: str | None = None,
 ) -> float:
-    """Returns e_ccsd_t = e_ccsd + E(T) (ccsd.f90:1917)."""
+    """Returns e_ccsd_t = e_ccsd + E(T) (ccsd.f90:1917).
+
+    precision: "f64" | "hybrid" | "pallas" (default: "pallas" on TPU —
+    measured 2x faster than "hybrid" at equal 1e-9 accuracy on the pVTZ
+    headline, see bench.py — and "hybrid" elsewhere, since off-TPU the
+    Pallas kernel only exists in interpret mode)."""
+    if precision is None:
+        import jax
+
+        precision = (
+            "pallas" if jax.default_backend() in ("tpu", "axon") else "hybrid"
+        )
     rep = rep or Reporter()
     rep.section("CCSD(T)")
     t_start = time.perf_counter()

@@ -93,6 +93,12 @@ def bench_real(workdir: Path):
     cc, e_t, ccsd_wall, t_wall = run_stage()
     wall = ccsd_wall + t_wall
 
+    # measured pallas-vs-XLA-hybrid triples comparison (the Pallas finale
+    # kernel is the default on TPU because of this number)
+    t0 = time.perf_counter()
+    e_t_hybrid = do_ccsd_t_spinorb(sys_, cc, cfg, hf.levels, rep, precision="hybrid")
+    t_wall_hybrid = time.perf_counter() - t0
+
     # accuracy gate vs the reference run (els_cpu.out): 1e-8 Ha contract
     ok_ccsd = abs(cc.e_ccsd - -0.399789132814) < 1e-8
     ok_t = abs(e_t - -0.434032756) < 1e-8
@@ -105,6 +111,7 @@ def bench_real(workdir: Path):
         "e_ccsd_t": e_t,
         "ccsd_wall": ccsd_wall,
         "t_wall": t_wall,
+        "t_wall_hybrid": t_wall_hybrid,
         "cold_wall": ccsd_cold + t_cold,
         "ccsd_iters": cc.iterations,
         "ccsd_tflops": fl_ccsd / ccsd_wall / 1e12,
