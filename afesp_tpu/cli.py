@@ -39,7 +39,7 @@ def main(argv=None) -> int:
 
     try:
         run_calculation(args.workdir)
-    except (FileNotFoundError, ValueError) as e:
+    except (FileNotFoundError, ValueError, RuntimeError) as e:
         # error() analogue (error_handling.f90:7-20): code 999
         print(" ERROR.", file=sys.stderr)
         print(f" Reason: {e}.", file=sys.stderr)

@@ -78,6 +78,9 @@ class Config:
     # faster iterations, converged energy within ~2e-9 Ha of f64 —
     # tests/test_cc_solver.py::test_hybrid_precision_ccsd).
     ccsd_precision: str = "f64"
+    # Runtime permutational-symmetry self-check of the antisymmetrised
+    # spin-orbital slices (always on in the reference, ccsd.f90:150-173)
+    spinorb_selfcheck: bool = True
 
     # Raw text of the input file (echoed into the output, integrals.f90:240-249)
     raw_text: str = ""
@@ -165,6 +168,7 @@ def parse_els_in(text: str) -> Config:
             "scf_write_guess",
             "ccsd_read_amplitudes",
             "ccsd_write_amplitudes",
+            "spinorb_selfcheck",
         ):
             setattr(cfg, key, bool(v))
         elif key == "ccsd_spinorb_equations":

@@ -376,6 +376,21 @@ def do_ccsd_spinorb(
     v, D_ia, D_ijab, t1, t2, e0, r0 = spinorb_cc_init(
         eri_mo, jnp.asarray(hf.levels), nocc_spatial=sys_.nel // 2
     )
+    if cfg.spinorb_selfcheck:
+        # runtime self-check, always on upstream (ccsd.f90:150-173);
+        # the reference's typo is part of the output format
+        rep.write(
+            " Checking that the permuational symmetry of the antisymmetrised"
+            " integrals hold..."
+        )
+        from ..ops.spin import spin_slices_symmetry_error
+
+        err = float(spin_slices_symmetry_error(v.oooo, v.oovv, v.vvvv))
+        if err > 1e-10:
+            rep.write(f" Permutational symmetry error: {err:15.6E}")
+            raise RuntimeError(
+                "Permutational symmetry of antisymmetrised integrals does not hold"
+            )
     rep.write(f" Time taken: {time.perf_counter() - t0_stage:8.6f} s")
     rep.write("")
     rep.write(" Forming slices of antisymmetrised spinorbital ERIs")

@@ -32,8 +32,10 @@ from ..config import Config
 from ..io import dat
 from ..io.report import Reporter
 
-# Fock build threshold above which the TPU einsum path is used.
-_TPU_FOCK_NBASIS = 160
+# Fock build threshold above which the TPU einsum path is used (the
+# >=100-bf workloads cross it; below, per-iteration dispatch latency to a
+# remote TPU exceeds the host numpy einsum time).
+_TPU_FOCK_NBASIS = 100
 
 
 @dataclasses.dataclass

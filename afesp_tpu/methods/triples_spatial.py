@@ -141,9 +141,9 @@ def cr_intermediates(t1, t2, t1_prev, t2_prev, v: Slices, nocc: int):
     return I_vovv_pp, I_ooov_pp
 
 
-@partial(jax.jit, static_argnames=("doing_T", "doing_R", "doing_CR"))
-def _triples_block(
-    i0_block,  # (B,) int32 occupied indices of this block
+def _islice_terms(
+    i0,  # scalar (traced) occupied index
+    j0,  # scalar (traced) start of the j slab
     t1,
     t2,
     v_vvov,
@@ -154,44 +154,52 @@ def _triples_block(
     I_vovv_pp,
     I_ooov_pp,
     *,
+    jlen: int,
     doing_T: bool,
     doing_R: bool,
     doing_CR: bool,
 ):
-    """Accumulate the six reductions over a block of the first occupied
-    index i (full j,k,a,b,c inside), mirroring the per-(i,j,k) panel loop
-    ccsd.f90:2151-2237."""
+    """The six reductions over the (i=i0, j in [j0, j0+jlen), all k) slab.
+
+    Panel formulation of the per-(i,j,k) loop (ccsd.f90:2151-2237): every
+    transient is O(jlen * o * v^3) — the spatial analogue of the
+    spin-orbital slab strategy — so CR-CCSD(T) scales to pVTZ-sized
+    spatial problems in bounded memory (the old i-block form materialised
+    O(B o^2 v^3) 6-D tensors, hopeless past pVDZ)."""
     es = partial(jnp.einsum, optimize=True)
+    dj = lambda x, ax: jax.lax.dynamic_slice_in_dim(x, j0, jlen, axis=ax)
 
-    t2i = t2[i0_block]  # (B,o,v,v)
-    t1i = t1[i0_block]  # (B,v)
-
-    # Six explicit terms of t3_D (ccsd.f90:2168-2173), each with the block
-    # index B in position i:
-    # X(i,j,k,a,b,c) = sum_f t2[i,j,a,f] Vv[c,b,k,f] - sum_m t2[m,i,b,a] Vo[k,j,c,m]
+    t2_i = jnp.take(t2, i0, axis=0)  # t2[i0,·,:,:]  (o,v,v)
+    t2_ci = jnp.take(t2, i0, axis=1)  # t2[·,i0,:,:]  (o,v,v)
+    t1_i = jnp.take(t1, i0, axis=0)  # (v,)
     Vv, Vo = v_vvov, v_oovo
+    Vv_i3 = jnp.take(Vv, i0, axis=2)  # Vv[a,b,i0,f]  (v,v,v)
+    Vo_i0 = jnp.take(Vo, i0, axis=0)  # Vo[i0,j,a,m]  (o,v,o)
+    Vo_i1 = jnp.take(Vo, i0, axis=1)  # Vo[k,i0,c,m]  (o,v,o)
+
+    # Twelve terms of t3_D (ccsd.f90:2168-2173) with i pinned to i0 and j
+    # restricted to the slab:
     t3_D = (
-        es("Bjaf,cbkf->Bjkabc", t2i, Vv)
-        - es("mBba,kjcm->Bjkabc", t2[:, i0_block], Vo)
-        + es("jBbf,cakf->Bjkabc", t2[:, i0_block], Vv)
-        - es("mjab,kBcm->Bjkabc", t2, Vo[:, i0_block])
-        + es("kjcf,abBf->Bjkabc", t2, Vv[:, :, i0_block])
-        - es("mkbc,Bjam->Bjkabc", t2, Vo[i0_block])
-        + es("Bkaf,bcjf->Bjkabc", t2i, Vv)
-        - es("mBca,jkbm->Bjkabc", t2[:, i0_block], Vo)
-        + es("jkbf,acBf->Bjkabc", t2, Vv[:, :, i0_block])
-        - es("mjcb,Bkam->Bjkabc", t2, Vo[i0_block])
-        + es("kBcf,bajf->Bjkabc", t2[:, i0_block], Vv)
-        - es("mkac,jBbm->Bjkabc", t2, Vo[:, i0_block])
+        es("jaf,cbkf->jkabc", dj(t2_i, 0), Vv)
+        - es("mba,kjcm->jkabc", t2_ci, dj(Vo, 1))
+        + es("jbf,cakf->jkabc", dj(t2_ci, 0), Vv)
+        - es("mjab,kcm->jkabc", dj(t2, 1), Vo_i1)
+        + es("kjcf,abf->jkabc", dj(t2, 1), Vv_i3)
+        - es("mkbc,jam->jkabc", t2, dj(Vo_i0, 0))
+        + es("kaf,bcjf->jkabc", t2_i, dj(Vv, 2))
+        - es("mca,jkbm->jkabc", t2_ci, dj(Vo, 0))
+        + es("jkbf,acf->jkabc", dj(t2, 0), Vv_i3)
+        - es("mjcb,kam->jkabc", dj(t2, 1), Vo_i0)
+        + es("kcf,bajf->jkabc", t2_ci, dj(Vv, 2))
+        - es("mkac,jbm->jkabc", t2, dj(Vo_i1, 0))
     )
 
+    eo_j = jax.lax.dynamic_slice_in_dim(e_o, j0, jlen)
     D3 = (
-        e_o[i0_block][:, None, None, None, None, None]
-        + e_o[None, :, None, None, None, None]
-        + e_o[None, None, :, None, None, None]
-        - e_v[None, None, None, :, None, None]
-        - e_v[None, None, None, None, :, None]
-        - e_v[None, None, None, None, None, :]
+        (e_o[i0] + eo_j[:, None] + e_o[None, :])[:, :, None, None, None]
+        - e_v[None, None, :, None, None]
+        - e_v[None, None, None, :, None]
+        - e_v[None, None, None, None, :]
     )
     t3 = t3_D / D3
     t_bar = _xbar(t3)
@@ -199,12 +207,13 @@ def _triples_block(
     acc = {}
     acc["e_T"] = jnp.sum(t_bar * t3_D)
 
+    voovv_i = jnp.take(v_oovv, i0, axis=0)  # (o,v,v)
     if doing_T:
         # z3 (Piecuch Eq. 60; ccsd.f90:2178-2179)
         z3 = (
-            es("Ba,jkbc->Bjkabc", t1i, v_oovv)
-            + es("jb,Bkac->Bjkabc", t1, v_oovv[i0_block])
-            + es("kc,Bjab->Bjkabc", t1, v_oovv[i0_block])
+            es("a,jkbc->jkabc", t1_i, dj(v_oovv, 0))
+            + es("jb,kac->jkabc", dj(t1, 0), voovv_i)
+            + es("kc,jab->jkabc", t1, dj(voovv_i, 0))
         ) / D3
         z3_bar = _xbar(z3)
         acc["e_TT"] = acc["e_T"] + jnp.sum(z3_bar * t3_D)
@@ -212,39 +221,91 @@ def _triples_block(
     if doing_R or doing_CR:
         # y (Piecuch Eq. 66; ccsd.f90:2183-2184)
         y = (
-            es("Ba,jb,kc->Bjkabc", t1i, t1, t1)
-            + es("Ba,jkbc->Bjkabc", t1i, t2)
-            + es("jb,Bkac->Bjkabc", t1, t2[i0_block])
-            + es("kc,Bjab->Bjkabc", t1, t2[i0_block])
+            es("a,jb,kc->jkabc", t1_i, dj(t1, 0), t1)
+            + es("a,jkbc->jkabc", t1_i, dj(t2, 0))
+            + es("jb,kac->jkabc", dj(t1, 0), t2_i)
+            + es("kc,jab->jkabc", t1, dj(t2_i, 0))
         )
         acc["D_T"] = jnp.sum(t_bar * y)
         if doing_T:
             acc["D_TT"] = acc["D_T"] + jnp.sum(z3_bar * y)
 
     if doing_CR:
-        # M3 moment (Piecuch Eq. 62; ccsd.f90:2188-2193), same six-term
+        # M3 moment (Piecuch Eq. 62; ccsd.f90:2188-2193), same twelve-term
         # joint-permutation structure as t3_D:
-        # M(i,j,k,a,b,c) = sum_e t2[i,j,a,e] I''[e,k,b,c] - sum_m t2[m,i,b,a] J''[j,k,m,c]
         Iv, Jo = I_vovv_pp, I_ooov_pp
+        Iv_i1 = jnp.take(Iv, i0, axis=1)  # Iv[e,i0,b,a]  (v,v,v)
+        Jo_i0 = jnp.take(Jo, i0, axis=0)  # Jo[i0,k,m,c]  (o,o,v)
+        Jo_i1 = jnp.take(Jo, i0, axis=1)  # Jo[j,i0,m,a]  (o,o,v)
         m3 = (
-            es("Bjae,ekbc->Bjkabc", t2i, Iv)
-            - es("mBba,jkmc->Bjkabc", t2[:, i0_block], Jo)
-            + es("jBbe,ekac->Bjkabc", t2[:, i0_block], Iv)
-            - es("mjab,Bkmc->Bjkabc", t2, Jo[i0_block])
-            + es("kjce,eBba->Bjkabc", t2, Iv[:, i0_block])
-            - es("mkbc,jBma->Bjkabc", t2, Jo[:, i0_block])
-            + es("Bkae,ejcb->Bjkabc", t2i, Iv)
-            - es("mBca,kjmb->Bjkabc", t2[:, i0_block], Jo)
-            + es("jkbe,eBca->Bjkabc", t2, Iv[:, i0_block])
-            - es("mjcb,kBma->Bjkabc", t2, Jo[:, i0_block])
-            + es("kBce,ejab->Bjkabc", t2[:, i0_block], Iv)
-            - es("mkac,Bjmb->Bjkabc", t2, Jo[i0_block])
+            es("jae,ekbc->jkabc", dj(t2_i, 0), Iv)
+            - es("mba,jkmc->jkabc", t2_ci, dj(Jo, 0))
+            + es("jbe,ekac->jkabc", dj(t2_ci, 0), Iv)
+            - es("mjab,kmc->jkabc", dj(t2, 1), Jo_i0)
+            + es("kjce,eba->jkabc", dj(t2, 1), Iv_i1)
+            - es("mkbc,jma->jkabc", t2, dj(Jo_i1, 0))
+            + es("kae,ejcb->jkabc", t2_i, dj(Iv, 1))
+            - es("mca,kjmb->jkabc", t2_ci, dj(Jo, 1))
+            + es("jkbe,eca->jkabc", dj(t2, 0), Iv_i1)
+            - es("mjcb,kma->jkabc", dj(t2, 1), Jo_i1)
+            + es("kce,ejab->jkabc", t2_ci, dj(Iv, 1))
+            - es("mkac,jmb->jkabc", t2, dj(Jo_i0, 0))
         )
         acc["e_CR"] = jnp.sum(t_bar * m3)
         if doing_T:
             acc["e_CRT"] = acc["e_CR"] + jnp.sum(z3_bar * m3)
 
     return acc
+
+
+_SUM_KEYS = ("e_T", "e_TT", "D_T", "D_TT", "e_CR", "e_CRT")
+
+
+@partial(
+    jax.jit, static_argnames=("nocc", "jlen", "doing_T", "doing_R", "doing_CR")
+)
+def _triples_total_spatial(
+    t1,
+    t2,
+    v_vvov,
+    v_oovo,
+    v_oovv,
+    e_o,
+    e_v,
+    I_vovv_pp,
+    I_ooov_pp,
+    *,
+    nocc: int,
+    jlen: int,
+    doing_T: bool,
+    doing_R: bool,
+    doing_CR: bool,
+):
+    """All six reductions over the full (i, j-slab) grid as ONE compiled
+    lax.fori_loop program (see triples_spinorb._triples_total).  jlen
+    must divide nocc."""
+    assert nocc % jlen == 0
+    nslab = nocc // jlen
+    args = (t1, t2, v_vvov, v_oovo, v_oovv, e_o, e_v, I_vovv_pp, I_ooov_pp)
+
+    def body(idx, sums):
+        i0 = idx // nslab
+        j0 = (idx % nslab) * jlen
+        acc = _islice_terms(
+            i0,
+            j0,
+            *args,
+            jlen=jlen,
+            doing_T=doing_T,
+            doing_R=doing_R,
+            doing_CR=doing_CR,
+        )
+        return tuple(
+            s + acc.get(k, jnp.float64(0.0)) for s, k in zip(sums, _SUM_KEYS)
+        )
+
+    init = tuple(jnp.float64(0.0) for _ in _SUM_KEYS)
+    return jax.lax.fori_loop(0, nocc * nslab, body, init)
 
 
 def do_ccsd_t_spatial(
@@ -278,32 +339,31 @@ def do_ccsd_t_spatial(
         I_vovv_pp = jnp.zeros((nvirt, nocc, nvirt, nvirt))
         I_ooov_pp = jnp.zeros((nocc, nocc, nocc, nvirt))
 
-    # block size over the first occupied index bounds the o^2 v^3 transients
-    if i_block <= 0:
-        # target <=2 GB of f64 6-D transients (a few live at once)
-        per_i = nocc**2 * nvirt**3 * 8
-        i_block = max(1, min(nocc, int(2e9 / (6 * per_i + 1))))
+    # j-slab length bounds the ~(6..20) live (jlen*o*v^3) f64 transients
+    # to ~8 GB; the fused single-dispatch loop needs jlen | nocc
+    if i_block > 0:
+        jlen = max(d for d in range(1, min(i_block, nocc) + 1) if nocc % d == 0)
+    else:
+        budget = max(1, min(nocc, int(8e9 / (20 * 8 * nocc * nvirt**3) + 1)))
+        jlen = max(d for d in range(1, budget + 1) if nocc % d == 0)
 
-    sums = {k: 0.0 for k in ("e_T", "e_TT", "D_T", "D_TT", "e_CR", "e_CRT")}
-    for start in range(0, nocc, i_block):
-        idx = jnp.arange(start, min(start + i_block, nocc))
-        acc = _triples_block(
-            idx,
-            t1,
-            t2,
-            v.v_vvov,
-            v.v_oovo,
-            v.v_oovv,
-            e_o,
-            e_v,
-            I_vovv_pp,
-            I_ooov_pp,
-            doing_T=doing_T,
-            doing_R=doing_R,
-            doing_CR=doing_CR,
-        )
-        for k, val in acc.items():
-            sums[k] += float(val)
+    totals = _triples_total_spatial(
+        t1,
+        t2,
+        v.v_vvov,
+        v.v_oovo,
+        v.v_oovv,
+        e_o,
+        e_v,
+        I_vovv_pp,
+        I_ooov_pp,
+        nocc=nocc,
+        jlen=jlen,
+        doing_T=doing_T,
+        doing_R=doing_R,
+        doing_CR=doing_CR,
+    )
+    sums = {k: float(x) for k, x in zip(_SUM_KEYS, totals)}
 
     e_T, e_TT = sums["e_T"], sums["e_TT"]
     D_T, D_TT = sums["D_T"], sums["D_TT"]

@@ -110,6 +110,34 @@ def spin_expand_t2(t2):
     return out
 
 
+def spin_slices_symmetry_error(oooo, oovv, vvvv) -> jnp.ndarray:
+    """Jitted production analogue of the reference's runtime self-check
+    (ccsd.f90:150-173): accumulated deviation from
+    <pq||rs> = -<pq||sr> = <rs||pq> = -<sr||pq> = <sr||qp>, evaluated on
+    the stored oooo/vvvv slices (where all four identities close within
+    one slice) plus both antisymmetries of oovv.  The reference hard-
+    errors above depsilon; callers should do the same.  Sums run over
+    full tensors (~8x the reference's canonical-quadruple count)."""
+    import jax
+
+    @jax.jit
+    def _err(oooo, oovv, vvvv):
+        def four(X):
+            return (
+                jnp.sum(jnp.abs(X + jnp.transpose(X, (0, 1, 3, 2))))
+                + jnp.sum(jnp.abs(X - jnp.transpose(X, (2, 3, 0, 1))))
+                + jnp.sum(jnp.abs(X + jnp.transpose(X, (3, 2, 0, 1))))
+                + jnp.sum(jnp.abs(X - jnp.transpose(X, (3, 2, 1, 0))))
+            )
+
+        anti = jnp.sum(jnp.abs(oovv + jnp.transpose(oovv, (0, 1, 3, 2)))) + jnp.sum(
+            jnp.abs(oovv + jnp.transpose(oovv, (1, 0, 2, 3)))
+        )
+        return four(oooo) + four(vvvv) + anti
+
+    return _err(oooo, oovv, vvvv)
+
+
 def permutational_symmetry_error(asym: jnp.ndarray) -> float:
     """The reference's runtime self-check (ccsd.f90:150-167): accumulated
     deviation from <pq||rs> = -<pq||sr> = <rs||pq> = -<sr||pq> = <sr||qp>

@@ -146,3 +146,39 @@ def test_hybrid_precision_ccsd(sample_data, tmp_path):
         results[prec] = cc
     assert abs(results["hybrid"].e_ccsd - results["f64"].e_ccsd) < 5e-9
     assert results["hybrid"].iterations == results["f64"].iterations
+
+
+def test_spin_blocked_einsum_matches_dense():
+    """The generic Sz-block-sparse einsum must equal the dense einsum on
+    physically structured tensors, across representative contraction
+    shapes from the CCSD iteration."""
+    from afesp_tpu.ops.spin_einsum import spin_blocked_einsum
+
+    t1, t2, v, D_ia, D_ijab = _spin_problem(seed=11)
+    # iterate once so t2 is a general spin-orbital tensor
+    t1, t2 = ccsd_spinorb_iteration(t1, t2, v, D_ia, D_ijab)
+    cases = [
+        ("miea,mbej->ijab", t2, v.ovvo),
+        ("mnef,jnfb->mbej", v.oovv, t2),
+        ("ijef,maef->ijma", t2, v.ovvv),
+        ("mnef,ijef->mnij", v.oovv, t2),
+        ("mnaf,mnfe->ae", t2, v.oovv),
+        ("ne,nmie->mi", t1, v.ooov),
+    ]
+    for spec, a, b in cases:
+        dense = jnp.einsum(spec, a, b, optimize=True)
+        blocked = spin_blocked_einsum(spec, a, b)
+        assert np.abs(np.asarray(blocked) - np.asarray(dense)).max() < 1e-13, spec
+
+
+def test_permutational_selfcheck_detects_corruption():
+    """The runtime self-check (ccsd.f90:150-173 analogue) must be ~0 on
+    production slices and fire on a corrupted tensor."""
+    from afesp_tpu.ops.spin import spin_slices_symmetry_error
+
+    _, _, v, _, _ = _spin_problem()
+    err = float(spin_slices_symmetry_error(v.oooo, v.oovv, v.vvvv))
+    assert err < 1e-10
+    bad = v.vvvv.at[0, 1, 2, 3].add(1e-3)
+    err_bad = float(spin_slices_symmetry_error(v.oooo, v.oovv, bad))
+    assert err_bad > 1e-4

@@ -1,0 +1,61 @@
+"""Generate cc-pVTZ water-dimer integrals (116 basis functions) with the
+native McMurchie-Davidson engine — the >=100-bf scaling workload.
+
+Geometry: the Smith/Swanton-style near-equilibrium water dimer (donor +
+acceptor, O-O ~ 2.97 A), coordinates in bohr.  Writes the four .dat
+integral files + geom.dat + an els.in (CRCCSD(T)_spatial) into
+data/h2o-dimer-cc-pvtz/ so the large benchmark (bench_large.py) and the
+driver can run it like any reference fixture.
+"""
+
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from afesp_tpu.integrals.generate import write_dat_files  # noqa: E402
+
+OUT = Path(__file__).resolve().parent.parent / "data" / "h2o-dimer-cc-pvtz"
+
+# bohr; donor water H-bonded to acceptor water along x
+CHARGES = [8.0, 1.0, 1.0, 8.0, 1.0, 1.0]
+COORDS = np.array(
+    [
+        [-2.806, 0.000, 0.000],
+        [-3.750, 1.440, 0.586],
+        [-3.750, -1.440, 0.586],
+        [2.806, 0.093, 0.000],
+        [1.012, 0.000, 0.000],
+        [3.411, -0.764, 1.428],
+    ]
+)
+
+ELS_IN = """&elsinput
+calc_type="CRCCSD(T)_spatial",
+scf_e_tol=1e-6,
+scf_d_tol=1e-7,
+scf_diis_n_errmat=6,
+ccsd_e_tol=1e-6,
+ccsd_t_tol=1e-7,
+ccsd_diis_n_errmat=8,
+scf_maxiter = 150,
+ccsd_maxiter = 200,
+write_fcidump = .false.,
+scf_read_guess = .false.,
+scf_write_guess = .false.,
+/
+"""
+
+
+def main():
+    t0 = time.perf_counter()
+    basis = write_dat_files(OUT, CHARGES, COORDS, "cc-pvtz", verbose=True)
+    (OUT / "els.in").write_text(ELS_IN)
+    print(f"wrote {OUT} ({basis.nbf} bf) in {time.perf_counter() - t0:.0f}s")
+
+
+if __name__ == "__main__":
+    main()
