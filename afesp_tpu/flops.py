@@ -8,12 +8,24 @@ therefore a conservative lower bound.
 
 from __future__ import annotations
 
-# Peak dense-matmul throughput of one TPU v5e chip (public spec):
-# 197 TFLOP/s bf16, and f32 inputs run ~1/4 of that through multi-pass
-# bf16 decomposition.  f64 has no hardware path at all — XLA emulates it
-# with double-float arithmetic (~10-20 f32 ops per f64 MAC).
+# Peak dense-matmul throughput of one TPU v5e chip: 197 TFLOP/s bf16
+# (public spec).  MEASURED on this part (8192^3 / 4096^3 GEMMs, on-device
+# scalar forcing so the 32 MB/s tunnel readback cannot pollute the
+# timing):
+#   bf16  119 TFLOP/s      (60% of spec peak at 8k^3)
+#   f32   103 TFLOP/s      (default XLA precision)
+#   f64   1.9 TFLOP/s      (XLA double-double emulation — NO MXU f64 path)
+# and at the CCSD-iteration GEMM shape (M = o^2 = 100, K = N = 2809):
+#   f64   0.30 TFLOP/s     (M=100 fills <1 MXU tile of rows)
+# This is why the ">50% MXU utilization" target is physically unreachable
+# for f64-contracted CC at any size: the f64 ceiling itself is ~1% of the
+# bf16 peak.  The package's answer is the hybrid paths (split-f32 vvvv,
+# f32 triples panels, the Pallas finale), which move the dominant FLOPs
+# onto the native f32 path while keeping the 1e-8 Ha contract.
 PEAK_BF16 = 197e12
-PEAK_F32 = PEAK_BF16 / 4
+MEASURED_BF16 = 119e12
+MEASURED_F32 = 103e12
+MEASURED_F64 = 1.9e12
 
 
 def spinorb_ccsd_iteration_flops(o: int, v: int) -> float:

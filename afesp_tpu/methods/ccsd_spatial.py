@@ -343,14 +343,16 @@ def do_ccsd_spatial(
                 " CCSD result might be unreliable!"
             )
 
+    # amplitudes stay on device (see ccsd_spinorb.py — the tunnel's
+    # device->host readback is ~30 MB/s)
     return CCSDResult(
         e_ccsd=energy,
-        t1=np.asarray(t1),
-        t2=np.asarray(t2),
+        t1=t1,
+        t2=t2,
         t1_diagnostic=t1_diag,
         converged=converged,
         iterations=it,
         slices=v,
-        t1_prev=np.asarray(t1_prev) if t1_prev is not None else None,
-        t2_prev=np.asarray(t2_prev) if t2_prev is not None else None,
+        t1_prev=t1_prev,
+        t2_prev=t2_prev,
     )

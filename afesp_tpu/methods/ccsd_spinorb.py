@@ -466,10 +466,14 @@ def do_ccsd_spinorb(
     if cfg.ccsd_write_amplitudes and converged:
         rep.write(" Writing CC amplitudes for future use...")
         dat.write_amplitudes(Path(workdir) / "amplitudes_out.npz", t1_out, t2_out)
+    # amplitudes stay on device: the triples stage consumes them there,
+    # and the tunnel's device->host readback is ~30 MB/s (0.3 s for a
+    # pVTZ t2); np.asarray() converts lazily wherever a host copy is
+    # genuinely needed (checkpoint writer, tests)
     return CCSDSpinorbResult(
         e_ccsd=energy,
-        t1=np.asarray(t1_out),
-        t2=np.asarray(t2_out),
+        t1=t1_out,
+        t2=t2_out,
         converged=converged,
         iterations=it,
         slices=v,

@@ -54,6 +54,8 @@ def bench_real(workdir: Path):
     from afesp_tpu import warmup
     from afesp_tpu.config import read_els_in
     from afesp_tpu.flops import (
+        MEASURED_F32,
+        MEASURED_F64,
         PEAK_BF16,
         spinorb_ccsd_iteration_flops,
         spinorb_triples_flops,
@@ -117,6 +119,10 @@ def bench_real(workdir: Path):
         "ccsd_tflops": fl_ccsd / ccsd_wall / 1e12,
         "t_tflops": fl_t / t_wall / 1e12,
         "mfu_vs_bf16_peak": (fl_ccsd + fl_t) / wall / PEAK_BF16,
+        # the honest utilization denominators: measured f64-emulation and
+        # f32 ceilings on THIS chip (see flops.py for the measurement)
+        "ccsd_util_vs_f64_ceiling": fl_ccsd / ccsd_wall / MEASURED_F64,
+        "t_util_vs_f32_ceiling": fl_t / t_wall / MEASURED_F32,
         "ok": ok_ccsd and ok_t,
     }
 

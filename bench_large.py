@@ -1,0 +1,121 @@
+"""Large-workload benchmark: cc-pVTZ water dimer (116 basis functions,
+20 electrons), CR-CCSD(T)_spatial — the >=100-bf scaling run the 58-bf
+reference fixtures cannot provide.
+
+Integrals come from the native McMurchie-Davidson engine
+(tools/make_dimer.py writes data/h2o-dimer-cc-pvtz/); this exercises the
+TPU Fock path (nbasis >= 100), the panelized spatial triples, and makes
+the MFU numbers meaningful at a size where the MXU is actually loaded.
+
+Prints ONE JSON line with walls, energies, achieved TFLOP/s and
+self-consistency checks.  Not the driver headline (that is bench.py) —
+run manually or via `python bench_large.py`.
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+FIXTURE = REPO / "data" / "h2o-dimer-cc-pvtz"
+
+
+def main():
+    if not (FIXTURE / "eri.dat").exists():
+        print(
+            json.dumps(
+                {
+                    "metric": "h2o_dimer_ccpvtz_crccsd_t",
+                    "value": None,
+                    "unit": "s",
+                    "error": "integrals not generated (run tools/make_dimer.py)",
+                }
+            )
+        )
+        return
+
+    import io
+
+    import jax
+
+    cache_dir = REPO / ".jax_cache"
+    cache_dir.mkdir(exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from afesp_tpu import warmup
+    from afesp_tpu.config import read_els_in
+    from afesp_tpu.io import dat
+    from afesp_tpu.io.report import Reporter
+    from afesp_tpu.methods.hf import do_rhf
+    from afesp_tpu.methods.mp2 import do_mp2_spatial
+    from afesp_tpu.methods.ccsd_spatial import do_ccsd_spatial
+    from afesp_tpu.methods.triples_spatial import do_ccsd_t_spatial
+
+    t_all = time.perf_counter()
+    cfg = read_els_in(FIXTURE)
+    sys_, ints = dat.read_integrals(FIXTURE, cfg.restricted)
+    warmup.start(sys_, cfg)
+    rep = Reporter(stream=io.StringIO())
+
+    t0 = time.perf_counter()
+    hf = do_rhf(sys_, ints, cfg, rep, FIXTURE)
+    hf_wall = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    mp2 = do_mp2_spatial(sys_, ints, cfg, hf, rep, FIXTURE)
+    mp2_wall = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    cc = do_ccsd_spatial(sys_, mp2.eri_mo, cfg, hf, rep, FIXTURE)
+    ccsd_wall = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    tr = do_ccsd_t_spatial(sys_, cc, cfg, hf.levels, rep)
+    t_wall = time.perf_counter() - t0
+
+    e_hf_tot = hf.e_hf + ints.e_nuc
+    # physical self-consistency: bound closed-shell dimer near its
+    # equilibrium — HF total in a sane window, corr energies negative and
+    # ordered, CR denominators > 1, T1 diagnostic single-reference-ish
+    checks = {
+        "hf_converged": hf.converged,
+        "ccsd_converged": cc.converged,
+        "hf_total_sane": -152.5 < e_hf_tot < -151.5,
+        "corr_ordered": tr.e_ccsd_t < cc.e_ccsd < mp2.e_mp2 * 0.7 < 0,
+        "denominators_gt_1": tr.D_T > 1.0 and tr.D_TT > 1.0,
+        "t1_single_ref": cc.t1_diagnostic < 0.02,
+        "cr_between": tr.e_crccsd_tt > tr.e_ccsd_tt,
+    }
+
+    o, v_ = sys_.nocc, sys_.nvirt  # spatial counts
+    # triples GEMM flops (12 terms x (t3_D, m3) + z3/y smaller)
+    fl_t = 2.0 * 12 * o**3 * v_**3 * (v_ + o) * 2
+    print(
+        json.dumps(
+            {
+                "metric": "h2o_dimer_ccpvtz_crccsd_t_wall",
+                "value": round(ccsd_wall + t_wall, 3),
+                "unit": "s",
+                "nbasis": sys_.nbasis,
+                "hf_wall": round(hf_wall, 3),
+                "mp2_wall": round(mp2_wall, 3),
+                "ccsd_wall": round(ccsd_wall, 3),
+                "t_wall": round(t_wall, 3),
+                "total_wall": round(time.perf_counter() - t_all, 3),
+                "ccsd_iters": cc.iterations,
+                "e_hf": round(e_hf_tot, 10),
+                "e_mp2_corr": round(mp2.e_mp2, 10),
+                "e_ccsd_corr": round(cc.e_ccsd, 10),
+                "e_crccsd_tt": round(tr.e_crccsd_tt, 10),
+                "D_T": round(tr.D_T, 10),
+                "D_TT": round(tr.D_TT, 10),
+                "t1_diag": round(cc.t1_diagnostic, 8),
+                "t_tflops": round(fl_t / t_wall / 1e12, 3),
+                "ok": all(checks.values()),
+                **{f"check_{k}": bool(x) for k, x in checks.items()},
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
