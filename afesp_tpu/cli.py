@@ -35,6 +35,7 @@ def main(argv=None) -> int:
     if args.device == "cpu":
         jax.config.update("jax_platforms", "cpu")
 
+    from . import warmup
     from .driver import run_calculation
 
     try:
@@ -44,6 +45,10 @@ def main(argv=None) -> int:
         print(" ERROR.", file=sys.stderr)
         print(f" Reason: {e}.", file=sys.stderr)
         print(" EXITING...", file=sys.stderr)
+        # a compile-ahead prefetch may still be in flight; exiting while
+        # XLA compiles on a daemon thread aborts the whole process with
+        # SIGABRT instead of our exit code — wait it out first
+        warmup.join()
         return 999
     return 0
 

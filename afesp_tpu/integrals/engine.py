@@ -271,6 +271,46 @@ def boys(nmax: int, T):
     return out
 
 
+def hermite_R_batched(L: int, p, PC):
+    """R_{t,u,v} tables (n=0) for a batch of Hermite-Gaussian pairs.
+
+    p: (B,) exponents; PC: (B, 3) separations.  Returns (B, L+1, L+1, L+1).
+    Same auxiliary recursion as hermite_R but with every innermost update
+    vectorised over the batch axis — the primitive-combination loop of an
+    ERI shell quartet collapses into one call (the scalar version
+    dominated the dimer-scale generation profile).
+    """
+    p = np.asarray(p, float)
+    PC = np.asarray(PC, float)
+    B = p.shape[0]
+    T = p * np.einsum("bi,bi->b", PC, PC)
+    F = boys(L, T)  # (L+1, B)
+    R = np.zeros((L + 1, L + 1, L + 1, L + 1, B))
+    pw = np.cumprod(np.broadcast_to(-2.0 * p, (L + 1, B)), axis=0) / (-2.0 * p)
+    R[:, 0, 0, 0] = pw * F  # (-2p)^n F_n
+    X, Y, Z = PC[:, 0], PC[:, 1], PC[:, 2]
+    for t in range(L + 1):
+        for u in range(L + 1 - t):
+            for v in range(L + 1 - t - u):
+                if t == u == v == 0:
+                    continue
+                nmax = L - (t + u + v)
+                if t > 0:
+                    val = X * R[1 : nmax + 2, t - 1, u, v]
+                    if t > 1:
+                        val += (t - 1) * R[1 : nmax + 2, t - 2, u, v]
+                elif u > 0:
+                    val = Y * R[1 : nmax + 2, t, u - 1, v]
+                    if u > 1:
+                        val += (u - 1) * R[1 : nmax + 2, t, u - 2, v]
+                else:
+                    val = Z * R[1 : nmax + 2, t, u, v - 1]
+                    if v > 1:
+                        val += (v - 1) * R[1 : nmax + 2, t, u, v - 2]
+                R[: nmax + 1, t, u, v] = val
+    return np.moveaxis(R[0], -1, 0)
+
+
 def hermite_R(tmax: int, umax: int, vmax: int, p, PC):
     """R_{t,u,v} table (n=0) via the standard auxiliary recursion.
 
@@ -435,38 +475,69 @@ def _pair_hermite(sa: Shell, sb: Shell):
     return out
 
 
-def eri_shell_quartet(sa, sb, sc, sd) -> np.ndarray:
-    """Cartesian (ncart_a, ncart_b, ncart_c, ncart_d) ERI block."""
+def _pair_batch(sa: Shell, sb: Shell):
+    """Stacked primitive-pair data for a shell pair: (p[B], P[B,3],
+    E[B, na*nb, (L+1)^3]) with contraction coefficients folded into E."""
+    pairs = _pair_hermite(sa, sb)
+    L = sa.l + sb.l
+    p = np.array([t[0] for t in pairs])
+    P = np.stack([t[1] for t in pairs])
+    E = np.stack([t[2] for t in pairs])  # (B, na, nb, L+1, L+1, L+1)
+    B, na, nb = E.shape[:3]
+    return p, P, E.reshape(B, na * nb, (L + 1) ** 3)
+
+
+def eri_shell_quartet(sa, sb, sc, sd, pair_ab=None, pair_cd=None) -> np.ndarray:
+    """Cartesian (ncart_a, ncart_b, ncart_c, ncart_d) ERI block.
+
+    The primitive-combination loop of the textbook algorithm is fully
+    batched: ONE hermite_R_batched call + two tensordots per quartet
+    (the per-combination einsum version spent ~half its time just
+    recomputing einsum contraction paths).  pair_ab/pair_cd accept
+    precomputed _pair_batch results so eri_tensor builds each shell
+    pair's Hermite tables once, not once per quartet.
+    """
     Lab = sa.l + sb.l
     Lcd = sc.l + sd.l
-    pairs_ab = _pair_hermite(sa, sb)
-    pairs_cd = _pair_hermite(sc, sd)
+    L = Lab + Lcd
+    p, P, Eab = pair_ab if pair_ab is not None else _pair_batch(sa, sb)
+    q, Q, Ecd = pair_cd if pair_cd is not None else _pair_batch(sc, sd)
+    Bab, Bcd = p.shape[0], q.shape[0]
+    # all primitive combinations (i over bra pairs, j over ket pairs)
+    pq = p[:, None] * q[None, :]
+    psum = p[:, None] + q[None, :]
+    alpha = (pq / psum).ravel()
+    PQ = (P[:, None, :] - Q[None, :, :]).reshape(-1, 3)
+    fac = (2.0 * np.pi**2.5 / (pq * np.sqrt(psum))).ravel()
+    R = hermite_R_batched(L, alpha, PQ)  # (B, L+1, L+1, L+1)
+    # window views R[t+x, u+y, v+z], signed (-1)^(x+y+z) on the ket
+    Rw = np.lib.stride_tricks.sliding_window_view(
+        R, (Lcd + 1, Lcd + 1, Lcd + 1), axis=(1, 2, 3)
+    )[:, : Lab + 1, : Lab + 1, : Lab + 1]
+    sgn = np.fromfunction(
+        lambda x, y, z: (-1.0) ** (x + y + z), (Lcd + 1, Lcd + 1, Lcd + 1)
+    ).ravel()
+    ntuv, nxyz = (Lab + 1) ** 3, (Lcd + 1) ** 3
+    Rw = (fac[:, None, None] * Rw.reshape(-1, ntuv, nxyz) * sgn).reshape(
+        Bab, Bcd, ntuv, nxyz
+    )
+    # tmp[i, tuv, cd] = sum_{j, xyz} Rw[i,j,tuv,xyz] Ecd[j,cd,xyz]
+    tmp = np.tensordot(Rw, Ecd, axes=([1, 3], [0, 2]))
+    # out[ab, cd]   = sum_{i, tuv} Eab[i,ab,tuv] tmp[i,tuv,cd]
+    out = np.tensordot(Eab, tmp, axes=([0, 2], [0, 1]))
     na, nb = len(cart_components(sa.l)), len(cart_components(sb.l))
     nc, nd = len(cart_components(sc.l)), len(cart_components(sd.l))
-    out = np.zeros((na, nb, nc, nd))
-    # (-1)^{tau+nu+phi} sign table for the ket
-    sgn = np.fromfunction(
-        lambda t, u, v: (-1.0) ** (t + u + v), (Lcd + 1, Lcd + 1, Lcd + 1)
-    )
-    for p, P, Eab in pairs_ab:
-        for q, Q, Ecd in pairs_cd:
-            alpha = p * q / (p + q)
-            R = hermite_R(Lab + Lcd, Lab + Lcd, Lab + Lcd, alpha, P - Q)
-            fac = 2.0 * np.pi**2.5 / (p * q * math.sqrt(p + q))
-            # window views R[t+tau, u+nu, v+phi]
-            Rw = np.lib.stride_tricks.sliding_window_view(
-                R, (Lcd + 1, Lcd + 1, Lcd + 1)
-            )[: Lab + 1, : Lab + 1, : Lab + 1]
-            # contract ket Hermite indices
-            tmp = np.einsum(
-                "cdxyz,xyz,tuvxyz->cdtuv", Ecd, sgn, Rw, optimize=True
-            )
-            out += fac * np.einsum("abtuv,cdtuv->abcd", Eab, tmp, optimize=True)
-    return out
+    return out.reshape(na, nb, nc, nd)
 
 
-def eri_tensor(basis: BasisSet, verbose: bool = False) -> np.ndarray:
-    """Full dense spherical (ij|kl) tensor with 8-fold symmetry reuse."""
+def eri_tensor(basis: BasisSet, verbose: bool = False, screen: float = 1e-13) -> np.ndarray:
+    """Full dense spherical (ij|kl) tensor with 8-fold symmetry reuse.
+
+    Schwarz screening: |(ij|kl)| <= sqrt((ij|ij)) sqrt((kl|kl)), so any
+    quartet whose bound is below `screen` is skipped (left exactly zero).
+    The .dat writer cuts at 1e-12 (generate.py:_write_tri_4d), so a
+    1e-13 screen cannot change what is written.
+    """
     n = basis.nbf
     eri = np.zeros((n, n, n, n))
     shells = basis.shells
@@ -476,11 +547,25 @@ def eri_tensor(basis: BasisSet, verbose: bool = False) -> np.ndarray:
     dim = [2 * s.l + 1 for s in shells]
 
     pair_list = [(i, j) for i in range(ns) for j in range(i + 1)]
+    pair_data = [_pair_batch(shells[i], shells[j]) for i, j in pair_list]
+    # Schwarz bound per shell pair: sqrt(max |(ij|ij)|) over components
+    Qb = np.empty(len(pair_list))
+    for ip, (i, j) in enumerate(pair_list):
+        diag = eri_shell_quartet(
+            shells[i], shells[j], shells[i], shells[j],
+            pair_ab=pair_data[ip], pair_cd=pair_data[ip],
+        )
+        Qb[ip] = math.sqrt(abs(diag).max())
     for ip, (i, j) in enumerate(pair_list):
         if verbose and ip % 10 == 0:
             print(f"  shell pair {ip}/{len(pair_list)}", flush=True)
-        for k, l in pair_list[: ip + 1]:
-            blk = eri_shell_quartet(shells[i], shells[j], shells[k], shells[l])
+        for kp, (k, l) in enumerate(pair_list[: ip + 1]):
+            if Qb[ip] * Qb[kp] < screen:
+                continue
+            blk = eri_shell_quartet(
+                shells[i], shells[j], shells[k], shells[l],
+                pair_ab=pair_data[ip], pair_cd=pair_data[kp],
+            )
             # cart -> spherical on all four indices
             blk = np.einsum(
                 "abcd,pa,qb,rc,sd->pqrs",

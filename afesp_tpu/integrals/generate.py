@@ -24,16 +24,27 @@ def _write_tri_2d(path: Path, M: np.ndarray):
 
 
 def _write_tri_4d(path: Path, eri: np.ndarray, cut: float = 1e-12):
+    """Unique-quadruple enumeration (j<=i, k<=i, l<=(k if k<i else j))
+    vectorised per i-slab — the naive scalar loop is O(n^4/8) Python
+    iterations, ~20 minutes at 116 bf."""
     n = eri.shape[0]
     with open(path, "w") as f:
         for i in range(n):
-            for j in range(i + 1):
-                for k in range(i + 1):
-                    lu = k if k < i else j
-                    for l in range(lu + 1):
-                        v = eri[i, j, k, l]
-                        if abs(v) > cut:
-                            f.write(f"{i+1}\t{j+1}\t{k+1}\t{l+1}\t{v:17.15f}\n")
+            J, K = np.meshgrid(np.arange(i + 1), np.arange(i + 1), indexing="ij")
+            counts = (np.where(K < i, K, J) + 1).ravel()
+            jj = np.repeat(J.ravel(), counts)
+            kk = np.repeat(K.ravel(), counts)
+            ll = np.arange(counts.sum()) - np.repeat(
+                np.cumsum(counts) - counts, counts
+            )
+            vals = eri[i, jj, kk, ll]
+            keep = np.abs(vals) > cut
+            f.write(
+                "".join(
+                    f"{i+1}\t{j+1}\t{k+1}\t{l+1}\t{v:17.15f}\n"
+                    for j, k, l, v in zip(jj[keep], kk[keep], ll[keep], vals[keep])
+                )
+            )
 
 
 def write_dat_files(
