@@ -138,6 +138,32 @@ def split_matmul(Tm, Vm, kc: int = 64):
     ).sum(0)
 
 
+def split_einsum(sub: str, A, B, kc: int = 64):
+    """Two-operand einsum evaluated as an Ozaki-split f32 MXU GEMM
+    (split_matmul) instead of an XLA-emulated f64 contraction.
+
+    Supports plain contractions (no batch/repeated indices): the shared
+    subscripts are contracted, the free ones appear in the output in the
+    order the caller wrote.  Used for the CCSD iteration's O(o^3 v^3)
+    terms in hybrid mode, where the f64-emulation throughput (~0.3
+    TFLOP/s at these shapes) dominates the iteration wall.
+    """
+    ins, out = sub.split("->")
+    sa, sb = ins.split(",")
+    contr = [c for c in sa if c in sb]
+    fa = [c for c in sa if c not in contr]
+    fb = [c for c in sb if c not in contr]
+    assert set(out) == set(fa + fb) and len(set(sa)) == len(sa)
+    Ap = jnp.transpose(A, [sa.index(c) for c in fa + contr])
+    Bp = jnp.transpose(B, [sb.index(c) for c in contr + fb])
+    M = int(np.prod(Ap.shape[: len(fa)], dtype=np.int64))
+    K = int(np.prod(Ap.shape[len(fa) :], dtype=np.int64))
+    N = int(np.prod(Bp.shape[len(contr) :], dtype=np.int64))
+    C = split_matmul(Ap.reshape(M, K), Bp.reshape(K, N), kc)
+    C = C.reshape(Ap.shape[: len(fa)] + Bp.shape[len(contr) :])
+    return jnp.transpose(C, [(fa + fb).index(c) for c in out])
+
+
 def _split_gemm_chunked(tau_b, v_b, kc: int = 64):
     """sum_ef tau[i,j,e,f] v[e,f,a,b] via split_matmul."""
     o = tau_b.shape[0]
@@ -166,6 +192,10 @@ def _iteration_core(
     t1, t2, v: SpinSlices, D_ia, D_ijab, *, paper_foo: bool, vvvv_split: bool = False
 ):
     es = partial(jnp.einsum, optimize=True)
+    # hybrid mode: the O(o^3 v^3) contractions also go through the
+    # split-f32 GEMM path (the f64-emulated versions are the second-
+    # largest slice of the iteration wall after tau*vvvv)
+    hs = split_einsum if vvvv_split else es
 
     # -------- tau / tau~ (ccsd.f90:678-715) --------
     x = es("ia,jb->ijab", t1, t1)
@@ -211,7 +241,7 @@ def _iteration_core(
     # W_vvvv, ccsd.f90:846-858 — prohibitive in HBM at pVTZ scale).
     # W_mbej (Eq. 8)
     Z = 0.5 * t2 + es("jf,nb->jnfb", t1, t1)  # [j,n,f,b]
-    w4 = es("mnef,jnfb->mbej", v.oovv, Z)
+    w4 = hs("mnef,jnfb->mbej", v.oovv, Z)
     W_ovvo = (
         v.ovvo
         + es("mbef,jf->mbej", v.ovvv, t1)
@@ -262,7 +292,7 @@ def _iteration_core(
         tmp_t2 += tau_vvvv_split(tau, v.vvvv)
     else:
         tmp_t2 += tau_vvvv_blocked(tau, v.vvvv)
-    G = es("ijef,maef->ijma", tau, v.ovvv)
+    G = hs("ijef,maef->ijma", tau, v.ovvv)
     tmp_t2 += 0.5 * (es("ijma,mb->ijab", G, t1) - es("ijmb,ma->ijab", G, t1))
     t2_new = tmp_t2 / D_ijab
 

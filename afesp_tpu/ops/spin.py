@@ -117,11 +117,21 @@ def spin_slices_symmetry_error(oooo, oovv, vvvv) -> jnp.ndarray:
     the stored oooo/vvvv slices (where all four identities close within
     one slice) plus both antisymmetries of oovv.  The reference hard-
     errors above depsilon; callers should do the same.  Sums run over
-    full tensors (~8x the reference's canonical-quadruple count)."""
+    full tensors (~8x the reference's canonical-quadruple count).
+
+    Evaluated in f32: the violations this check exists to catch (wrong
+    spin masks / block assembly) are O(1), and an exactly-symmetric f64
+    tensor stays exactly symmetric under an elementwise cast (transpose
+    commutes with cast), so the f32 evaluation cannot mask a real
+    violation — it just halves the HBM traffic of the transposes of the
+    O(v^4) slice, which is what this check's wall-clock is."""
     import jax
 
     @jax.jit
     def _err(oooo, oovv, vvvv):
+        oooo = oooo.astype(jnp.float32)
+        oovv = oovv.astype(jnp.float32)
+        vvvv = vvvv.astype(jnp.float32)
         def four(X):
             return (
                 jnp.sum(jnp.abs(X + jnp.transpose(X, (0, 1, 3, 2))))

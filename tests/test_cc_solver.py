@@ -182,3 +182,24 @@ def test_permutational_selfcheck_detects_corruption():
     bad = v.vvvv.at[0, 1, 2, 3].add(1e-3)
     err_bad = float(spin_slices_symmetry_error(v.oooo, v.oovv, bad))
     assert err_bad > 1e-4
+
+
+def test_split_einsum_matches_dense():
+    """split_einsum (Ozaki-split f32 GEMM evaluation of a two-operand
+    contraction) must agree with the f64 einsum to f32-accumulation
+    accuracy on amplitude-scaled data — the hybrid CCSD iteration routes
+    its O(o^3 v^3) terms through it."""
+    from afesp_tpu.methods.ccsd_spinorb import split_einsum
+
+    t1, t2, v, D_ia, D_ijab = _spin_problem(seed=7)
+    t1, t2 = ccsd_spinorb_iteration(t1, t2, v, D_ia, D_ijab)
+    cases = [
+        ("mnef,jnfb->mbej", v.oovv, 0.5 * t2),
+        ("miea,mbej->ijab", t2, v.ovvo),
+        ("ijef,maef->ijma", t2, v.ovvv),
+    ]
+    for spec, a, b in cases:
+        dense = np.asarray(jnp.einsum(spec, a, b, optimize=True))
+        split = np.asarray(split_einsum(spec, a, b))
+        scale = max(np.abs(dense).max(), 1e-30)
+        assert np.abs(split - dense).max() / scale < 1e-6, spec
