@@ -183,9 +183,13 @@ def _intermediates(t1, t2, v: Slices):
     )
 
 
-@jax.jit
-def ccsd_iteration(t1, t2, v: Slices, D_ia, D_ijab):
-    """One T1/T2 update, Piecuch Eqs. 43-44 (debug twin ccsd.f90:1487-1530)."""
+def _iteration_core(t1, t2, v: Slices, D_ia, D_ijab, *, vvvv_split: bool = False):
+    """One T1/T2 update, Piecuch Eqs. 43-44 (debug twin ccsd.f90:1487-1530).
+
+    vvvv_split routes the dominant O(o^2 v^4) c_oovv * v_vvvv contraction
+    through the Ozaki split-f32 GEMM path (`ccsd_precision = "hybrid"`),
+    exactly as the spin-orbital path does — same kernel, same validated
+    ~1e-9 Ha end-to-end shift (tests/test_cc_solver.py)."""
     es = partial(jnp.einsum, optimize=True)
     im = _intermediates(t1, t2, v)
     asym_t2 = im["asym_t2"]
@@ -204,10 +208,16 @@ def ccsd_iteration(t1, t2, v: Slices, D_ia, D_ijab):
     )
 
     # ---------------- T2 (Eq. 44; ccsd.f90:1497-1526) ----------------
+    if vvvv_split:
+        from .ccsd_spinorb import split_einsum
+
+        vvvv_term = 0.5 * split_einsum("efab,ijef->ijab", v.v_vvvv, c_oovv)
+    else:
+        vvvv_term = 0.5 * es("efab,ijef->ijab", v.v_vvvv, c_oovv)
     X = (
         es("ijae,eb->ijab", t2, im["I_vv"])
         - es("imab,jm->ijab", t2, im["I_oo"])
-        + 0.5 * es("efab,ijef->ijab", v.v_vvvv, c_oovv)
+        + vvvv_term
         + 0.5 * es("mnab,ijmn->ijab", c_oovv, im["I_oooo"])
         + es("ie,ejab->ijab", t1, im["I_vovv_p"])
         - es("ma,ijmb->ijab", t1, im["I_ooov_p"])
@@ -218,6 +228,11 @@ def ccsd_iteration(t1, t2, v: Slices, D_ia, D_ijab):
     t2_new = (v.v_oovv + X + jnp.transpose(X, (1, 0, 3, 2))) / D_ijab
     t1_new = tmp_t1 / D_ia
     return t1_new, t2_new
+
+
+# Default: all-f64 (golden-fixture parity).  Hybrid: split-f32 vvvv GEMM.
+ccsd_iteration = jax.jit(partial(_iteration_core, vvvv_split=False))
+ccsd_iteration_hybrid = jax.jit(partial(_iteration_core, vvvv_split=True))
 
 
 @jax.jit
@@ -233,6 +248,14 @@ def cc_energy_restricted(t1, t2, t2_old, v_oovv):
 from ..ops.cc_step import init_cc_state, make_cc_solver  # noqa: E402
 
 ccsd_spatial_solver = make_cc_solver(ccsd_iteration, cc_energy_restricted)
+ccsd_spatial_solver_hybrid = make_cc_solver(
+    ccsd_iteration_hybrid, cc_energy_restricted
+)
+
+
+def get_spatial_solver(vvvv_split: bool = False):
+    """Memoized whole-solve wrapper for a precision mode."""
+    return ccsd_spatial_solver_hybrid if vvvv_split else ccsd_spatial_solver
 
 
 @partial(jax.jit, static_argnames=("nocc",))
@@ -281,7 +304,7 @@ def do_ccsd_spatial(
         e0, r0 = cc_energy_restricted(t1, t2, jnp.zeros_like(t2), v.v_oovv)
     rep.write(" Allocating stored intermediate tensors...")
 
-    solver = ccsd_spatial_solver
+    solver = get_spatial_solver(vvvv_split=cfg.ccsd_precision == "hybrid")
 
     rep.write(f" Time taken: {time.perf_counter() - t_stage:8.6f} s")
     rep.write("")
@@ -300,8 +323,10 @@ def do_ccsd_spatial(
         D_ijab,
         v.v_oovv,
         e0,
-        cfg.ccsd_e_tol,
-        cfg.ccsd_t_tol,
+        # strong-typed scalars so the AOT-prefetched executable
+        # (warmup.py lowers from f64 ShapeDtypeStructs) is signature-hit
+        jnp.float64(cfg.ccsd_e_tol),
+        jnp.float64(cfg.ccsd_t_tol),
         nerr=cfg.ccsd_diis_n_errmat,
         maxiter=cfg.ccsd_maxiter,
     )

@@ -467,8 +467,10 @@ def do_ccsd_spinorb(
         D_ijab,
         v.oovv,
         e0,
-        cfg.ccsd_e_tol,
-        cfg.ccsd_t_tol,
+        # strong-typed scalars so the AOT-prefetched executable
+        # (warmup.py lowers from f64 ShapeDtypeStructs) is signature-hit
+        jnp.float64(cfg.ccsd_e_tol),
+        jnp.float64(cfg.ccsd_t_tol),
         nerr=cfg.ccsd_diis_n_errmat,
         maxiter=cfg.ccsd_maxiter,
     )

@@ -35,16 +35,66 @@ class MP2Result:
 
 
 @jax.jit
-def ao_to_mo(eri: jnp.ndarray, C: jnp.ndarray) -> jnp.ndarray:
-    """(ij|kl) -> (pq|rs) with C[p, mu] (rows = MO, sys%canon_coeff layout).
-
-    Sequenced as four quarter transforms so XLA emits four N^3xN GEMMs
-    (mp2.f90:320-386) rather than one N^8 monster.
-    """
+def _ao_to_mo_oneshot(eri: jnp.ndarray, C: jnp.ndarray) -> jnp.ndarray:
     t = jnp.einsum("pi,ijkl->pjkl", C, eri)
     t = jnp.einsum("qj,pjkl->pqkl", C, t)
     t = jnp.einsum("rk,pqkl->pqrl", C, t)
     return jnp.einsum("sl,pqrl->pqrs", C, t)
+
+
+@partial(jax.jit, static_argnames=("blk",))
+def _ao_to_mo_chunked(eri: jnp.ndarray, C: jnp.ndarray, *, blk: int) -> jnp.ndarray:
+    """The four quarter transforms with every dot_general's OPERANDS
+    sliced to n^3*blk (two lax.map stages).
+
+    TPU f64 dot_generals are emulated by decomposing each operand into
+    f32/bf16 limb arrays ~4x the f64 bytes, with remat copies on top: a
+    116-bf one-shot transform compiles to a 24.4 GB program (measured —
+    55% over a v5e's HBM), and any n^4 operand in a dot blows up the
+    same way no matter how the output is blocked.  So:
+
+      stage A (per l-block):  (ij|k lb) -> (pq|r lb)   [transforms 1-3;
+          l is a free index, so the eri operand slices cleanly]
+      stage B (per p-block):  (pb q|r l) -> (pb q|rs)  [transform 4
+          contracts l, but p is now free so the operand slices]
+
+    Peak HBM: eri + the intermediate + the output (3 x n^4 f64) plus
+    ~4x n^3*blk of emulation temps, instead of ~4 x 4x n^4.
+    """
+    n = eri.shape[0]
+
+    def stage_a(l0):
+        e = jax.lax.dynamic_slice_in_dim(eri, l0, blk, axis=3)
+        t = jnp.einsum("pi,ijkl->pjkl", C, e)
+        t = jnp.einsum("qj,pjkl->pqkl", C, t)
+        return jnp.einsum("rk,pqkl->pqrl", C, t)
+
+    u = jax.lax.map(stage_a, jnp.arange(0, n, blk))  # (nb, n,n,n, blk)
+    u = jnp.moveaxis(u, 0, 3).reshape(n, n, n, n)  # (p,q,r,l)
+
+    def stage_b(p0):
+        up = jax.lax.dynamic_slice_in_dim(u, p0, blk, axis=0)
+        return jnp.einsum("sl,pqrl->pqrs", C, up)
+
+    out = jax.lax.map(stage_b, jnp.arange(0, n, blk))  # (nb, blk, n,n,n)
+    return out.reshape(n, n, n, n)
+
+
+def ao_to_mo(eri: jnp.ndarray, C: jnp.ndarray) -> jnp.ndarray:
+    """(ij|kl) -> (pq|rs) with C[p, mu] (rows = MO, sys%canon_coeff layout).
+
+    Sequenced as four quarter transforms so XLA emits four N^3xN GEMMs
+    (mp2.f90:320-386) rather than one N^8 monster.  Above ~60 bf the
+    transform runs operand-blocked (see _ao_to_mo_chunked) so the
+    f64-emulation transients stay bounded.
+    """
+    n = eri.shape[0]
+    if n**4 <= 2e7:  # the committed <=58-bf fixtures: one-shot is fine
+        return _ao_to_mo_oneshot(eri, C)
+    # largest divisor of n keeping blk*n^3 operand slices under ~100 MB f64
+    budget = max(1, int(12e6 / n**3))
+    blk = max(d for d in range(1, budget + 1) if n % d == 0)
+    return _ao_to_mo_chunked(eri, C, blk=blk)
 
 
 @partial(jax.jit, static_argnames=("nocc",))

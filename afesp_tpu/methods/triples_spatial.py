@@ -158,6 +158,7 @@ def _islice_terms(
     doing_T: bool,
     doing_R: bool,
     doing_CR: bool,
+    precision: str = "f64",
 ):
     """The six reductions over the (i=i0, j in [j0, j0+jlen), all k) slab.
 
@@ -165,9 +166,25 @@ def _islice_terms(
     transient is O(jlen * o * v^3) — the spatial analogue of the
     spin-orbital slab strategy — so CR-CCSD(T) scales to pVTZ-sized
     spatial problems in bounded memory (the old i-block form materialised
-    O(B o^2 v^3) 6-D tensors, hopeless past pVDZ)."""
+    O(B o^2 v^3) 6-D tensors, hopeless past pVDZ).
+
+    precision="hybrid" (same contract as triples_spinorb._islice_energy):
+    the 24 panel GEMMs run with f32 operands on the native MXU path —
+    f64 GEMMs are XLA-emulated via f32 limb arrays ~5x the memory and
+    ~50x slower — while the denominators and every energy/denominator
+    reduction stay f64."""
     es = partial(jnp.einsum, optimize=True)
     dj = lambda x, ax: jax.lax.dynamic_slice_in_dim(x, j0, jlen, axis=ax)
+
+    if precision == "hybrid":
+        f32 = jnp.float32
+        t1 = t1.astype(f32)
+        t2 = t2.astype(f32)
+        v_vvov = v_vvov.astype(f32)
+        v_oovo = v_oovo.astype(f32)
+        v_oovv = v_oovv.astype(f32)
+        I_vovv_pp = I_vovv_pp.astype(f32)
+        I_ooov_pp = I_ooov_pp.astype(f32)
 
     t2_i = jnp.take(t2, i0, axis=0)  # t2[i0,·,:,:]  (o,v,v)
     t2_ci = jnp.take(t2, i0, axis=1)  # t2[·,i0,:,:]  (o,v,v)
@@ -262,7 +279,8 @@ _SUM_KEYS = ("e_T", "e_TT", "D_T", "D_TT", "e_CR", "e_CRT")
 
 
 @partial(
-    jax.jit, static_argnames=("nocc", "jlen", "doing_T", "doing_R", "doing_CR")
+    jax.jit,
+    static_argnames=("nocc", "jlen", "doing_T", "doing_R", "doing_CR", "precision"),
 )
 def _triples_total_spatial(
     t1,
@@ -280,6 +298,7 @@ def _triples_total_spatial(
     doing_T: bool,
     doing_R: bool,
     doing_CR: bool,
+    precision: str = "f64",
 ):
     """All six reductions over the full (i, j-slab) grid as ONE compiled
     lax.fori_loop program (see triples_spinorb._triples_total).  jlen
@@ -299,6 +318,7 @@ def _triples_total_spatial(
             doing_T=doing_T,
             doing_R=doing_R,
             doing_CR=doing_CR,
+            precision=precision,
         )
         return tuple(
             s + acc.get(k, jnp.float64(0.0)) for s, k in zip(sums, _SUM_KEYS)
@@ -339,12 +359,18 @@ def do_ccsd_t_spatial(
         I_vovv_pp = jnp.zeros((nvirt, nocc, nvirt, nvirt))
         I_ooov_pp = jnp.zeros((nocc, nocc, nocc, nvirt))
 
-    # j-slab length bounds the ~(6..20) live (jlen*o*v^3) f64 transients
-    # to ~8 GB; the fused single-dispatch loop needs jlen | nocc
+    precision = cfg.ccsd_precision
+    # j-slab length bounds the ~(6..20) live (jlen*o*v^3) panel transients
+    # to ~8 GB.  In f64 mode each element effectively costs ~40 B: the
+    # emulated f64 dots decompose operands/outputs into f32 limb arrays
+    # ~4x the f64 bytes on top of the tensor itself (measured: jlen=5 at
+    # 116 bf compiled to a 22.9 GB program).  Hybrid f32 GEMM panels cost
+    # ~12 B/el (f32 GEMM + f64 t3).  The fused loop needs jlen | nocc.
+    el = 12 if precision == "hybrid" else 40
     if i_block > 0:
         jlen = max(d for d in range(1, min(i_block, nocc) + 1) if nocc % d == 0)
     else:
-        budget = max(1, min(nocc, int(8e9 / (20 * 8 * nocc * nvirt**3) + 1)))
+        budget = max(1, min(nocc, int(8e9 / (20 * el * nocc * nvirt**3) + 1)))
         jlen = max(d for d in range(1, budget + 1) if nocc % d == 0)
 
     totals = _triples_total_spatial(
@@ -362,6 +388,7 @@ def do_ccsd_t_spatial(
         doing_T=doing_T,
         doing_R=doing_R,
         doing_CR=doing_CR,
+        precision=precision,
     )
     sums = {k: float(x) for k, x in zip(_SUM_KEYS, totals)}
 

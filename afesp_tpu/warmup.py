@@ -4,22 +4,39 @@ Under a remote TPU the one-time cost of compiling (or deserializing the
 persistently-cached executables of) the big CC programs is seconds; the
 pipeline stages before CCSD (integral read, SCF, MP2) are host/IO bound.
 This module overlaps the two: as soon as the system dimensions are known
-a daemon thread drives each production jit wrapper once on tiny-valued
-dummy tensors of the REAL shapes, so the executables are resident in the
-wrappers' in-process caches by the time the solver is called for real.
+a daemon thread compiles the production CC programs ahead of time.
 
-The dummy CC solve exits after one iteration (tolerances are traced
-scalars, so +inf reuses the production executable); the dummy triples
-pass runs on zeros.  Correctness is untouched — only cache state changes.
+Two strategies, picked by problem size:
+
+- nbasis <= _AOT_NBASIS: *execute* each production jit wrapper once on
+  tiny-valued dummy tensors of the REAL shapes, so the executables are
+  resident in the wrappers' in-process caches by the time the solver is
+  called for real.  (The dummy CC solve exits after one iteration —
+  tolerances are traced scalars, so +inf reuses the production
+  executable.)
+
+- nbasis > _AOT_NBASIS: AOT-lower and compile from ShapeDtypeStructs
+  (jax.eval_shape + .lower().compile()) — NO device buffers are ever
+  allocated, so the prefetch cannot compete with the concurrently
+  running SCF/MP2 stages for HBM (at 116 bf the dummy tensors alone are
+  ~4 GB).  The compiled executable lands in the persistent compile
+  cache; the production call then lowers (fast) and deserializes instead
+  of recompiling.
+
+Correctness is untouched — only cache state changes.
 """
 
 from __future__ import annotations
 
 import threading
+from functools import partial
 
 import numpy as np
 
 _THREADS: dict[str, threading.Thread] = {}
+
+# above this, prefetch compiles from abstract shapes (no HBM footprint)
+_AOT_NBASIS = 80
 
 
 def _dummy_levels(nbasis: int, nocc_spatial: int) -> np.ndarray:
@@ -27,6 +44,13 @@ def _dummy_levels(nbasis: int, nocc_spatial: int) -> np.ndarray:
     denominator is nonzero (no NaN/Inf in the dummy solve)."""
     no, nv = nocc_spatial, nbasis - nocc_spatial
     return np.concatenate([-np.arange(1, no + 1)[::-1] * 0.5, np.arange(1, nv + 1)])
+
+
+def _sds(shape):
+    import jax
+    import jax.numpy as jnp
+
+    return jax.ShapeDtypeStruct(shape, jnp.float64)
 
 
 def _prefetch_spinorb(
@@ -38,21 +62,48 @@ def _prefetch_spinorb(
     equations: str,
     precision: str,
 ):
+    import jax
     import jax.numpy as jnp
 
     from .methods.ccsd_spinorb import get_spinorb_solver, spinorb_cc_init
     from .ops.cc_step import init_cc_state
 
     no_sp = nel // 2
+    solver = get_spinorb_solver(
+        paper_foo=equations == "paper", vvvv_split=precision == "hybrid"
+    )
+
+    if nbasis > _AOT_NBASIS:
+        eri_s, lv_s = _sds((nbasis,) * 4), _sds((nbasis,))
+        init_fn = partial(spinorb_cc_init, nocc_spatial=no_sp)
+        v_s, D_ia_s, D_ijab_s, t1_s, t2_s, e0_s, _ = jax.eval_shape(
+            init_fn, eri_s, lv_s
+        )
+        spinorb_cc_init.lower(eri_s, lv_s, nocc_spatial=no_sp).compile()
+        state_s = jax.eval_shape(partial(init_cc_state, n_errmat=nerr), t1_s, t2_s)
+        sc = _sds(())
+        solver.lower(
+            state_s, v_s, D_ia_s, D_ijab_s, v_s.oovv, e0_s, sc, sc,
+            nerr=nerr, maxiter=maxiter,
+        ).compile()
+        if triples:
+            from .methods.triples_spinorb import _pick_jlen, _triples_total
+
+            nocc, nvirt = nel, 2 * nbasis - nel
+            jlen = _pick_jlen(nocc, nvirt, "hybrid")
+            _triples_total.lower(
+                t1_s, t2_s, v_s.vovv, v_s.ovoo, v_s.oovv,
+                _sds((nocc,)), _sds((nvirt,)),
+                nocc=nocc, jlen=jlen, precision="hybrid",
+            ).compile()
+        return
+
     eri = jnp.zeros((nbasis,) * 4)
     levels = jnp.asarray(_dummy_levels(nbasis, no_sp))
     v, D_ia, D_ijab, t1, t2, e0, _ = spinorb_cc_init(
         eri, levels, nocc_spatial=no_sp
     )
     state = init_cc_state(t1, t2, nerr)
-    solver = get_spinorb_solver(
-        paper_foo=equations == "paper", vvvv_split=precision == "hybrid"
-    )
     st, n_iter, *_ = solver(
         state, v, D_ia, D_ijab, v.oovv, e0, np.inf, np.inf, nerr=nerr, maxiter=maxiter
     )
@@ -79,18 +130,38 @@ def _prefetch_spinorb(
         float(e_t)
 
 
-def _prefetch_spatial(nbasis: int, nel: int, nerr: int, maxiter: int):
+def _prefetch_spatial(
+    nbasis: int, nel: int, nerr: int, maxiter: int, precision: str = "f64"
+):
+    import jax
     import jax.numpy as jnp
 
-    from .methods.ccsd_spatial import ccsd_spatial_solver, spatial_cc_init
+    from .methods.ccsd_spatial import get_spatial_solver, spatial_cc_init
     from .ops.cc_step import init_cc_state
 
     nocc = nel // 2
+    solver = get_spatial_solver(vvvv_split=precision == "hybrid")
+
+    if nbasis > _AOT_NBASIS:
+        eri_s, lv_s = _sds((nbasis,) * 4), _sds((nbasis,))
+        init_fn = partial(spatial_cc_init, nocc=nocc)
+        v_s, D_ia_s, D_ijab_s, t1_s, t2_s, e0_s, _ = jax.eval_shape(
+            init_fn, eri_s, lv_s
+        )
+        spatial_cc_init.lower(eri_s, lv_s, nocc=nocc).compile()
+        state_s = jax.eval_shape(partial(init_cc_state, n_errmat=nerr), t1_s, t2_s)
+        sc = _sds(())
+        solver.lower(
+            state_s, v_s, D_ia_s, D_ijab_s, v_s.v_oovv, e0_s, sc, sc,
+            nerr=nerr, maxiter=maxiter,
+        ).compile()
+        return
+
     eri = jnp.zeros((nbasis,) * 4)
     levels = jnp.asarray(_dummy_levels(nbasis, nocc))
     v, D_ia, D_ijab, t1, t2, e0, _ = spatial_cc_init(eri, levels, nocc=nocc)
     state = init_cc_state(t1, t2, nerr)
-    st, n_iter, *_ = ccsd_spatial_solver(
+    st, n_iter, *_ = solver(
         state, v, D_ia, D_ijab, v.v_oovv, e0, np.inf, np.inf, nerr=nerr, maxiter=maxiter
     )
     int(n_iter)
@@ -107,7 +178,11 @@ def start(sys_, cfg) -> None:
         try:
             if cfg.restricted:
                 _prefetch_spatial(
-                    sys_.nbasis, sys_.nel, cfg.ccsd_diis_n_errmat, cfg.ccsd_maxiter
+                    sys_.nbasis,
+                    sys_.nel,
+                    cfg.ccsd_diis_n_errmat,
+                    cfg.ccsd_maxiter,
+                    cfg.ccsd_precision,
                 )
             else:
                 _prefetch_spinorb(

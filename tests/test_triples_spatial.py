@@ -46,3 +46,21 @@ def test_triples_all_variants(sample_data, tmp_path, name, ref):
     assert abs(tr.D_T - ref["D_T"]) < 1e-7, "D[T]"
     assert abs(tr.D_TT - ref["D_TT"]) < 1e-7, "D(T)"
     assert tr.calcname == "completely renormalised CCSD(T)"
+
+
+def test_triples_spatial_hybrid_matches_f64(sample_data, tmp_path):
+    """precision='hybrid' (f32 MXU panel GEMMs, f64 denominators and
+    reductions) must reproduce the f64 spatial triples within the 1e-8
+    contract on every variant — the >=100-bf workloads run hybrid
+    because emulated-f64 panel GEMMs are ~50x slower and ~5x the HBM."""
+    sys_, ints, cfg, hf, mp2, cc, _ = run_pipeline(
+        sample_data, tmp_path, "n2-cc-pvdz/2.00_0.00"
+    )
+    tr64 = do_ccsd_t_spatial(sys_, cc, cfg, hf.levels)
+    cfg.ccsd_precision = "hybrid"
+    trh = do_ccsd_t_spatial(sys_, cc, cfg, hf.levels)
+    for k in ("e_ccsd_t", "e_ccsd_tt", "e_rccsd_t", "e_rccsd_tt",
+              "e_crccsd_t", "e_crccsd_tt"):
+        assert abs(getattr(trh, k) - getattr(tr64, k)) < 1e-8, k
+    assert abs(trh.D_T - tr64.D_T) < 1e-6
+    assert abs(trh.D_TT - tr64.D_TT) < 1e-6

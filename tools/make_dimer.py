@@ -43,6 +43,7 @@ ccsd_t_tol=1e-7,
 ccsd_diis_n_errmat=8,
 scf_maxiter = 150,
 ccsd_maxiter = 200,
+ccsd_precision = "hybrid",
 write_fcidump = .false.,
 scf_read_guess = .false.,
 scf_write_guess = .false.,
