@@ -44,6 +44,19 @@ class IntStore:
     ele_nuc: np.ndarray | None = None
     core_hamil: np.ndarray | None = None
     eri: np.ndarray | None = None  # dense (n,n,n,n) chemist (ij|kl)
+    _eri_dev: object = None  # cached device copy (see eri_on_device)
+
+    def eri_on_device(self):
+        """The dense ERI as a device array, uploaded ONCE and cached.
+
+        The remote-tunnel TPU uploads at ~30 MB/s, so a 116-bf f64 ERI
+        costs ~50 s to ship; HF's Fock build and the MP2 transform must
+        share one copy instead of each calling jnp.asarray."""
+        if self._eri_dev is None:
+            import jax.numpy as jnp
+
+            self._eri_dev = jnp.asarray(self.eri)
+        return self._eri_dev
 
 
 def _parse_numeric_table(path: Path, ncols: int) -> np.ndarray:
@@ -75,7 +88,21 @@ def read_eri_dense(path: str | Path, nbasis: int) -> np.ndarray:
     (ij|kl)=(ji|kl)=(ij|lk)=(ji|lk)=(kl|ij)=(lk|ij)=(kl|ji)=(lk|ji).
     Replaces the packed `eri_ind` store (integrals.f90:146-210).
     """
-    tab = _parse_numeric_table(Path(path), 5)
+    path = Path(path)
+    # sidecar binary cache: the pure-Python text parse of a >=100-bf
+    # eri.dat (~0.5 GB, ~20M lines) costs minutes on one core; the .npy
+    # reload costs ~1 s.  Keyed on the source mtime; regenerable, never
+    # committed.
+    cache = path.with_suffix(".dat.npy")
+    if cache.exists() and cache.stat().st_mtime >= path.stat().st_mtime:
+        tab = np.load(cache)
+    else:
+        tab = _parse_numeric_table(path, 5)
+        if tab.shape[0] > 2_000_000:
+            try:
+                np.save(cache, tab)
+            except OSError:
+                pass  # read-only fixture dir — cache is best-effort
     i, j, k, l = (tab[:, c].astype(np.int64) - 1 for c in range(4))
     v = tab[:, 4]
     eri = np.zeros((nbasis,) * 4)

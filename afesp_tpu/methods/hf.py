@@ -12,10 +12,14 @@ Device placement: at the reference's scale (nbasis <= ~100) SCF is
 latency-bound, and — measured on v5e — the TPU QDWH eigensolver carries
 ~1e-6 eigenvector error under f64 emulation, far outside the 1e-8 Ha
 accuracy contract.  So the SCF loop runs on host LAPACK/numpy (exactly
-the dsyev/dgemm semantics of the reference), with an optional jitted TPU
-einsum path for the O(N^4) Fock build (`fock_build_jax`) that kicks in
-for large basis sets.  The heavy O(N^5)+ stages (MP2 transform, CCSD,
-triples) all run on TPU where f64 einsums are accurate to ~5e-13.
+the dsyev/dgemm semantics of the reference).  The O(N^4) Fock build has
+two large-basis fast paths, picked by hardware model: on a direct-
+attached TPU, `fock_build_jax` contracts against a device-resident ERI
+(plus a one-time (ik|jl) re-sort for the exchange term); behind the
+remote axon tunnel (~28 MB/s up, ~0.5 MB/s down — uploading the ERI
+alone costs ~50 s) the same two contractions run as host BLAS gemv's
+over a one-time host-side re-sort.  The FLOP-heavy stages (CCSD,
+triples) always run on TPU.
 """
 
 from __future__ import annotations
@@ -32,10 +36,21 @@ from ..config import Config
 from ..io import dat
 from ..io.report import Reporter
 
-# Fock build threshold above which the TPU einsum path is used (the
-# >=100-bf workloads cross it; below, per-iteration dispatch latency to a
-# remote TPU exceeds the host numpy einsum time).
+# Basis-size threshold above which the Fock build uses a large-n fast
+# path: device einsums over a resident ERI (direct-attached TPU) or two
+# host BLAS gemv's over a one-time (ik|jl) re-sort (remote tunnel) —
+# see the module docstring for the measured rationale.
 _TPU_FOCK_NBASIS = 100
+
+
+def device_is_remote_tunnel() -> bool:
+    """True when the TPU is reached through the axon tunnel (slow
+    host<->device link: ~28 MB/s up, ~0.5 MB/s down, measured 2026-08).
+    Drives the large-n placement decisions in HF and the MP2 transform.
+
+    The tunnel registers a plugin named "axon" but its devices report
+    platform "tpu", so the platform *list* is the detectable signal."""
+    return "axon" in (jax.config.jax_platforms or "")
 
 
 @dataclasses.dataclass
@@ -49,19 +64,44 @@ class HFResult:
 
 
 @jax.jit
-def fock_build_jax(H, eri, D):
+def _eri_k_layout(eri):
+    """(ik|jl) pre-sorted so the exchange contraction is a plain
+    minormost-(k,l) GEMM: eri_K[i,j,k,l] = eri[i,k,j,l].  Built ONCE per
+    SCF — an emulated-f64 transpose of the n^4 tensor costs seconds per
+    call via f32 limb copies, which used to run inside every Fock build."""
+    return jnp.transpose(eri, (0, 2, 1, 3))
+
+
+@jax.jit
+def fock_build_jax(H, eri, D, eri_K=None):
     """F = Hcore + 2J - K on the MXU (replaces the packed-ERI OpenMP loop,
     hf.f90:349-385)."""
     J = jnp.einsum("ijkl,kl->ij", eri, D)
-    K = jnp.einsum("ikjl,kl->ij", eri, D)
+    if eri_K is None:
+        K = jnp.einsum("ikjl,kl->ij", eri, D)
+    else:
+        K = jnp.einsum("ijkl,kl->ij", eri_K, D)
     return H + 2.0 * J - K
 
 
-def _build_fock(H: np.ndarray, eri: np.ndarray, D: np.ndarray, eri_dev) -> np.ndarray:
+def _build_fock(
+    H: np.ndarray,
+    eri: np.ndarray,
+    D: np.ndarray,
+    eri_dev,
+    eri_K_dev=None,
+    eri_K_host: np.ndarray | None = None,
+) -> np.ndarray:
     if eri_dev is not None:
-        return np.asarray(fock_build_jax(jnp.asarray(H), eri_dev, jnp.asarray(D)))
-    J = np.einsum("ijkl,kl->ij", eri, D, optimize=True)
-    K = np.einsum("ikjl,kl->ij", eri, D, optimize=True)
+        return np.asarray(
+            fock_build_jax(jnp.asarray(H), eri_dev, jnp.asarray(D), eri_K_dev)
+        )
+    n = H.shape[0]
+    J = (eri.reshape(n * n, n * n) @ D.ravel()).reshape(n, n)
+    if eri_K_host is not None:
+        K = (eri_K_host.reshape(n * n, n * n) @ D.ravel()).reshape(n, n)
+    else:
+        K = np.einsum("ikjl,kl->ij", eri, D, optimize=True)
     return H + 2.0 * J - K
 
 
@@ -122,7 +162,14 @@ def do_rhf(
     S = ints.ovlp
     H = ints.core_hamil
     eri = ints.eri
-    eri_dev = jnp.asarray(eri) if n >= _TPU_FOCK_NBASIS else None
+    eri_dev = eri_K_dev = eri_K_host = None
+    if n >= _TPU_FOCK_NBASIS and eri is not None:
+        if device_is_remote_tunnel():
+            # one-time (ik|jl) re-sort: every Fock build is two dgemv's
+            eri_K_host = np.ascontiguousarray(eri.transpose(0, 2, 1, 3))
+        else:
+            eri_dev = ints.eri_on_device()  # shared with MP2 — one upload
+            eri_K_dev = _eri_k_layout(eri_dev)
     X = symmetric_orthogonaliser_np(S)
 
     if cfg.scf_read_guess:
@@ -175,7 +222,7 @@ def do_rhf(
 
         energy_old = energy
         D_old = D
-        F = _build_fock(H, eri, D, eri_dev)
+        F = _build_fock(H, eri, D, eri_dev, eri_K_dev, eri_K_host)
         err = F @ D @ S - S @ D @ F  # DIIS error (hf.f90:212-213)
         extrap = diis.update(F, err)
         if extrap is not None:

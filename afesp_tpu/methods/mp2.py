@@ -80,6 +80,48 @@ def _ao_to_mo_chunked(eri: jnp.ndarray, C: jnp.ndarray, *, blk: int) -> jnp.ndar
     return out.reshape(n, n, n, n)
 
 
+def _ao_to_mo_host(eri: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """The four quarter transforms as host BLAS dgemms.
+
+    Behind the remote tunnel the device path loses twice: the AO ERI
+    upload alone costs ~50 s at ~28 MB/s, and the emulated-f64 dots run
+    the 0.17-TFLOP transform in *minutes* (measured 250-350 s at 116 bf
+    even operand-blocked — the limb-decomposition traffic dominates).
+    Host BLAS does the same f64 math in a few seconds; only the finished
+    MO tensor is shipped to the device, once.
+
+    Implementation notes, all measured on this host:
+    - np.einsum falls back to its scalar C kernel for these subscripts
+      even with optimize=True (>400 s per quarter transform at 116 bf);
+      every stage here is an explicit BLAS matmul.
+    - Exactly TWO n^4 buffers are allocated and ping-ponged (the
+      reference's tmp_a/tmp_b design, mp2.f90:285-288): this microVM
+      demand-faults fresh pages at ~10-50 MB/s while resident memory
+      moves at ~10 GB/s, so every avoided gigabyte-scale temporary
+      saves ~a minute of wall.
+    - The (n,n)x(n,n^3) first stage is column-chunked: this OpenBLAS
+      degrades badly on skinny GEMMs with multi-million-column N.
+    - The index orders are chosen so stage 4 lands directly in
+      (p,q,r,s) — no final n^4 transpose.
+    """
+    n = eri.shape[0]
+    A = np.empty((n, n, n, n))
+    B = np.empty((n, n, n, n))
+    # stage 1: A[p, jkl] = sum_i C[p,i] eri[i, jkl]
+    E = eri.reshape(n, n**3)
+    Av = A.reshape(n, n**3)
+    nc = 200_000
+    for c0 in range(0, n**3, nc):
+        np.matmul(C, E[:, c0 : c0 + nc], out=Av[:, c0 : c0 + nc])
+    # stage 2: B[p, q, kl] = sum_j C[q,j] A[p, j, kl]   (batched over p)
+    np.matmul(C[None, :, :], A.reshape(n, n, n * n), out=B.reshape(n, n, n * n))
+    # stage 3: A[pq, r, l] = sum_k C[r,k] B[pq, k, l]   (batched over pq)
+    np.matmul(C[None, :, :], B.reshape(n * n, n, n), out=A.reshape(n * n, n, n))
+    # stage 4: B[pqr, s] = sum_l A[pqr, l] C[s,l]
+    np.matmul(A.reshape(n**3, n), C.T, out=B.reshape(n**3, n))
+    return B  # (p,q,r,s)
+
+
 def ao_to_mo(eri: jnp.ndarray, C: jnp.ndarray) -> jnp.ndarray:
     """(ij|kl) -> (pq|rs) with C[p, mu] (rows = MO, sys%canon_coeff layout).
 
@@ -125,8 +167,15 @@ def do_mp2_spatial(
     rep.section("MP2")
     rep.write(" Performing AO to MO ERI transformation...")
 
-    C = jnp.asarray(hf.coeff)
-    eri_mo = ao_to_mo(jnp.asarray(ints.eri), C)
+    from .hf import device_is_remote_tunnel
+
+    n = sys_.nbasis
+    if n**4 > 2e7 and device_is_remote_tunnel():
+        # large basis behind the slow tunnel: transform on host, ship
+        # the MO tensor once (see _ao_to_mo_host)
+        eri_mo = jnp.asarray(_ao_to_mo_host(ints.eri, hf.coeff))
+    else:
+        eri_mo = ao_to_mo(ints.eri_on_device(), jnp.asarray(hf.coeff))
 
     rep.write(" Calculating MP2 energy...")
     nocc = sys_.nel // 2

@@ -71,9 +71,23 @@ def _xbar(x: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def cr_intermediates(t1, t2, t1_prev, t2_prev, v: Slices, nocc: int):
+def cr_intermediates(
+    t1, t2, t1_prev, t2_prev, v: Slices, nocc: int, precision: str = "f64"
+):
     """I_vovv'' and I_ooov'' (build_cr_ccsd_t_intermediates,
-    ccsd.f90:2338-2551), with stale I_vo/asym_t2 from (t1_prev, t2_prev)."""
+    ccsd.f90:2338-2551), with stale I_vo/asym_t2 from (t1_prev, t2_prev).
+
+    precision="hybrid": the whole chain runs in f32 (native MXU dots; the
+    emulated-f64 contractions against the O(v^4) v_vvvv operand cost tens
+    of seconds at >=100 bf through limb-array decompositions).  The I''
+    tensors feed the m3 GEMMs, which run f32 in hybrid mode anyway; the
+    end-to-end effect on all six variant energies is <1e-8 on the N2
+    golden (tests/test_triples_spatial.py)."""
+    if precision == "hybrid":
+        f32 = jnp.float32
+        t1, t2 = t1.astype(f32), t2.astype(f32)
+        t1_prev, t2_prev = t1_prev.astype(f32), t2_prev.astype(f32)
+        v = Slices(*(x.astype(f32) for x in v))
     es = partial(jnp.einsum, optimize=True)
 
     # Stale quantities (see module docstring)
@@ -353,7 +367,8 @@ def do_ccsd_t_spatial(
 
     if doing_CR:
         I_vovv_pp, I_ooov_pp = cr_intermediates(
-            t1, t2, jnp.asarray(cc.t1_prev), jnp.asarray(cc.t2_prev), v, nocc
+            t1, t2, jnp.asarray(cc.t1_prev), jnp.asarray(cc.t2_prev), v, nocc,
+            precision=cfg.ccsd_precision,
         )
     else:
         I_vovv_pp = jnp.zeros((nvirt, nocc, nvirt, nvirt))
