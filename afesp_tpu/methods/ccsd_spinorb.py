@@ -196,6 +196,14 @@ def _iteration_core(
     # split-f32 GEMM path (the f64-emulated versions are the second-
     # largest slice of the iteration wall after tau*vvvv)
     hs = split_einsum if vvvv_split else es
+    # Sz-block-sparse evaluation for the contractions that stay f64:
+    # forbidden spin blocks are exact zeros (ops/spin_einsum.py), so
+    # skipping them is exact up to f64 reassociation while cutting the
+    # emulated-f64 GEMM FLOPs ~6x.  Only even spin-orbital extents
+    # qualify (always true for the closed-shell spin-orbital path).
+    from ..ops.spin_einsum import spin_blocked_einsum
+
+    bs = spin_blocked_einsum if t1.shape[0] % 2 == 0 and t1.shape[1] % 2 == 0 else es
 
     # -------- tau / tau~ (ccsd.f90:678-715) --------
     x = es("ia,jb->ijab", t1, t1)
@@ -204,7 +212,7 @@ def _iteration_core(
     tau = t2 + x
 
     # -------- F intermediates (ccsd.f90:717-797) --------
-    F_vv = es("mf,mafe->ae", t1, v.ovvv) + 0.5 * es(
+    F_vv = bs("mf,mafe->ae", t1, v.ovvv) + 0.5 * bs(
         "mnaf,mnfe->ae", tau_tilde, v.oovv
     )
     if paper_foo:
@@ -214,14 +222,14 @@ def _iteration_core(
         # both Psi4's reference.dat and the old-revision ref_out —
         # demonstrating the current code's transposed contraction below
         # is a later-introduced bug, not an equivalent rearrangement.
-        F_oo = -es("ne,nmie->mi", t1, v.ooov) + 0.5 * es(
+        F_oo = -bs("ne,nmie->mi", t1, v.ooov) + 0.5 * bs(
             "inef,mnef->mi", tau_tilde, v.oovv
         )
     else:
         # code-faithful tau~ contraction (ccsd.f90:792-795; see module
         # docstring) — required to reproduce the committed els.out /
         # els_cpu.out goldens, which were produced by the current code
-        F_oo = -es("ne,nmie->mi", t1, v.ooov) + 0.5 * es(
+        F_oo = -bs("ne,nmie->mi", t1, v.ooov) + 0.5 * bs(
             "mnef,inef->mi", tau_tilde, v.oovv
         )
     F_ov = es("nf,mnef->me", t1, v.oovv)
@@ -233,7 +241,7 @@ def _iteration_core(
         v.oooo
         + w1
         - jnp.transpose(w1, (0, 1, 3, 2))
-        + 0.5 * es("mnef,ijef->mnij", v.oovv, tau)
+        + 0.5 * bs("mnef,ijef->mnij", v.oovv, tau)
     )
     # W_abef (Eq. 7) is NOT materialised: its three contributions to the
     # T2 equation are fused below so no O(v^4) temporary beyond the
@@ -244,7 +252,7 @@ def _iteration_core(
     w4 = hs("mnef,jnfb->mbej", v.oovv, Z)
     W_ovvo = (
         v.ovvo
-        + es("mbef,jf->mbej", v.ovvv, t1)
+        + bs("mbef,jf->mbej", v.ovvv, t1)
         + es("nb,nmej->mbej", t1, v.oovo)
         - w4
     )
@@ -255,13 +263,13 @@ def _iteration_core(
         - es("mi,ma->ia", F_oo, t1)
         + es("me,maei->ia", t1, v.ovvo)
         + es("miea,me->ia", t2, F_ov)
-        + 0.5 * es("mife,mafe->ia", t2, v.ovvv)
+        + 0.5 * bs("mife,mafe->ia", t2, v.ovvv)
         - 0.5 * es("mnea,mnei->ia", t2, v.oovo)
     )
     t1_new = tmp_t1 / D_ia
 
     # -------- T2 (Eq. 2; ccsd.f90:967-1031) --------
-    s = -es("ie,ma,mbej->ijab", t1, t1, v.ovvo) + es(
+    s = -es("ie,ma,mbej->ijab", t1, t1, v.ovvo) + bs(
         "miea,mbej->ijab", t2, W_ovvo
     )
     tmp_t2 = (
@@ -271,19 +279,19 @@ def _iteration_core(
         - jnp.transpose(s, (0, 1, 3, 2))
         + jnp.transpose(s, (1, 0, 3, 2))
     )
-    s = es("ijae,be->ijab", t2, F_vv)
+    s = bs("ijae,be->ijab", t2, F_vv)
     tmp_t2 += s - jnp.transpose(s, (0, 1, 3, 2))
     s = es("ijae,mb,me->ijab", t2, t1, F_ov)
     tmp_t2 -= 0.5 * (s - jnp.transpose(s, (0, 1, 3, 2)))
     s = es("ie,me,mjab->ijab", t1, F_ov, t2)
     tmp_t2 -= 0.5 * (s - jnp.transpose(s, (1, 0, 2, 3)))
-    s = es("ie,ejab->ijab", t1, v.vovv)
+    s = bs("ie,ejab->ijab", t1, v.vovv)
     tmp_t2 += s - jnp.transpose(s, (1, 0, 2, 3))
     s = es("ijbm,ma->ijab", v.oovo, t1)
     tmp_t2 += s - jnp.transpose(s, (0, 1, 3, 2))
     s = es("mi,mjab->ijab", F_oo, t2)
     tmp_t2 -= s - jnp.transpose(s, (1, 0, 2, 3))
-    tmp_t2 += 0.5 * es("mnij,mnab->ijab", W_oooo, tau)
+    tmp_t2 += 0.5 * bs("mnij,mnab->ijab", W_oooo, tau)
     # 0.5 tau_ijef W_abef with W_abef = <ab||ef> + P_(ab) t1[m,b] <ma||ef>,
     # fused: the t1 part factors through G[i,j,m,a] = tau_ijef <ma||ef>
     # (O(o^3 v) memory instead of O(v^4)).
