@@ -28,35 +28,63 @@ MEASURED_F32 = 103e12
 MEASURED_F64 = 1.9e12
 
 
+def sz_fraction(spec: str) -> float:
+    """Fraction of a dense contraction's MACs that survive Sz-block
+    sparsity (ops/spin_einsum.py): enumerate the 2^letters spin
+    assignments, keep those where every operand block is allowed
+    (2-index: equal spins; 4-index: s0+s1 == s2+s3); each surviving
+    assignment costs (1/2)^letters of the dense MACs."""
+    ins = spec.split("->")[0].split(",")
+    letters = sorted(set("".join(ins)))
+    ok = 0
+    for bits in range(2 ** len(letters)):
+        s = {c: (bits >> i) & 1 for i, c in enumerate(letters)}
+        good = True
+        for sp in ins:
+            sig = [s[c] for c in sp]
+            if len(sig) == 2 and sig[0] != sig[1]:
+                good = False
+            if len(sig) == 4 and sig[0] + sig[1] != sig[2] + sig[3]:
+                good = False
+        ok += good
+    return ok / 2 ** len(letters)
+
+
 def spinorb_ccsd_iteration_flops(o: int, v: int) -> float:
     """One spin-orbital CCSD iteration (ccsd_spinorb_iteration +
-    fused DIIS), in f64 FLOPs."""
-    mac = 0
-    # F intermediates
-    mac += v * v * o * v            # mf,mafe->ae
-    mac += v * v * o * o * v        # mnaf,mnfe->ae
-    mac += o * o * o * v            # ne,nmie->mi
-    mac += o * o * o * v * v        # mnef,inef->mi
-    mac += o * v * o * v            # nf,mnef->me
+    fused DIIS), in f64 FLOPs *as executed*: contractions evaluated
+    Sz-block-sparse carry their surviving-block fraction (sz_fraction),
+    so the TFLOP/s bench numbers reflect work actually issued, not the
+    dense-algorithm count."""
+    f = sz_fraction
+    mac = 0.0
+    # F intermediates (spin-blocked)
+    mac += f("mf,mafe->ae") * v * v * o * v
+    mac += f("mnaf,mnfe->ae") * v * v * o * o * v
+    mac += f("ne,nmie->mi") * o * o * o * v
+    mac += f("mnef,inef->mi") * o * o * o * v * v
+    mac += o * v * o * v            # nf,mnef->me (dense)
     # W intermediates
-    mac += o**4 * v                 # mnie,je->mnij
-    mac += o**4 * v * v             # mnef,ijef->mnij
-    mac += o * o * v**3             # mbef,jf->mbej
-    mac += o**3 * v * v             # nb,nmej->mbej
-    mac += o**3 * v**3              # mnef,jnfb->mbej
+    mac += o**4 * v                 # mnie,je->mnij (dense)
+    mac += f("mnef,ijef->mnij") * o**4 * v * v
+    mac += f("mbef,jf->mbej") * o * o * v**3
+    mac += o**3 * v * v             # nb,nmej->mbej (dense)
+    mac += f("mnef,jnfb->mbej") * o**3 * v**3  # split-f32 in hybrid; counted blocked
     # T1
     mac += o * v * v + o * o * v + 2 * (o * v) ** 2
-    mac += o * o * v**3             # mife,mafe
-    mac += o**3 * v * v             # mnea,mnei
+    mac += f("mife,mafe->ia") * o * o * v**3
+    mac += o**3 * v * v             # mnea,mnei (dense)
     # T2
-    mac += 2 * o**3 * v**3          # (ie,ma,mbej) + (miea,mbej)
-    mac += 2 * o * o * v**3         # ijae,be ; ijae,mb,me
+    mac += o**3 * v * v             # ie,ma,mbej chain (dense)
+    mac += f("miea,mbej->ijab") * o**3 * v**3
+    mac += f("ijae,be->ijab") * o * o * v**3
+    mac += o * o * v**3             # ijae,mb,me (dense)
     mac += 2 * o**3 * v * v         # ie,me,mjab ; ijbm,ma
-    mac += o * o * v**3             # ie,ejab
+    mac += f("ie,ejab->ijab") * o * o * v**3
     mac += o**3 * v * v             # mi,mjab
-    mac += o**4 * v * v             # mnij,mnab (tau * W_oooo)
+    mac += f("mnij,mnab->ijab") * o**4 * v * v
     mac += 3 * o * o * (v // 2) ** 4  # blocked tau*vvvv (3 spin-block GEMMs)
-    mac += o**3 * v**3              # ijef,maef->ijma (G)
+    mac += f("ijef,maef->ijma") * o**3 * v**3  # G
     mac += 2 * o**3 * v * v         # G*t1 (two terms)
     mac += o * o * v * v            # energy reduction
     # DIIS gram matrix: nerr^2 * size ~ 64 * (ov + o^2 v^2)

@@ -195,7 +195,7 @@ def _iteration_core(
     # hybrid mode: the O(o^3 v^3) contractions also go through the
     # split-f32 GEMM path (the f64-emulated versions are the second-
     # largest slice of the iteration wall after tau*vvvv)
-    hs = split_einsum if vvvv_split else es
+    hs = split_einsum if vvvv_split else None  # resolved to bs below
     # Sz-block-sparse evaluation for the contractions that stay f64:
     # forbidden spin blocks are exact zeros (ops/spin_einsum.py), so
     # skipping them is exact up to f64 reassociation while cutting the
@@ -204,6 +204,8 @@ def _iteration_core(
     from ..ops.spin_einsum import spin_blocked_einsum
 
     bs = spin_blocked_einsum if t1.shape[0] % 2 == 0 and t1.shape[1] % 2 == 0 else es
+    if hs is None:
+        hs = bs
 
     # -------- tau / tau~ (ccsd.f90:678-715) --------
     x = es("ia,jb->ijab", t1, t1)
