@@ -45,3 +45,24 @@ def test_breakdown_matches_reference(sample_data, tmp_path, name):
     assert len(mine) == len(ref)
     for m, r in zip(mine, ref):
         assert m == r, f"mismatch:\n  mine: {m!r}\n  ref:  {r!r}"
+
+
+def test_cli_error_path_exits_999(sample_data, tmp_path, capsys):
+    """error() parity (error_handling.f90:7-20): a missing guess_in.dat
+    with scf_read_guess on must print the three-line ERROR block and
+    return 999 — and must NOT abort the process even while the
+    compile-ahead warmup thread is mid-flight (a daemon thread inside an
+    XLA compile at interpreter exit raises SIGABRT, observed before the
+    cli warmup.join fix)."""
+    import shutil
+
+    from afesp_tpu.cli import main
+
+    src = sample_data / "n2-cc-pvdz/2.00_0.00"
+    for f in ("s.dat", "t.dat", "v.dat", "geom.dat", "eri.dat", "els.in"):
+        shutil.copy(src / f, tmp_path / f)
+    # els.in has scf_read_guess=.true.; guess_in.dat deliberately absent
+    rc = main([str(tmp_path)])
+    assert rc == 999
+    err = capsys.readouterr().err
+    assert " ERROR." in err and "guess_in.dat" in err and " EXITING..." in err
