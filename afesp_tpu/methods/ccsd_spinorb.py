@@ -105,7 +105,31 @@ def tau_vvvv_blocked(tau, vvvv):
     return 0.5 * jnp.concatenate([top, bot], axis=2)
 
 
-def split_matmul(Tm, Vm, kc: int = 64):
+def _chunk_A(Tm, kc: int):
+    """(M,K) f64 -> hi/lo f32 halves in the (c, M, kc) chunk layout."""
+    M, K = Tm.shape
+    nc = -(-K // kc)
+    pad = nc * kc - K
+    if pad:
+        Tm = jnp.pad(Tm, ((0, 0), (0, pad)))
+    Tc = Tm.reshape(M, nc, kc).transpose(1, 0, 2)
+    Ah = Tc.astype(jnp.float32)
+    return Ah, (Tc - Ah.astype(jnp.float64)).astype(jnp.float32)
+
+
+def _chunk_B(Vm, kc: int):
+    """(K,N) f64 -> hi/lo f32 halves in the (c, kc, N) chunk layout."""
+    K, N = Vm.shape
+    nc = -(-K // kc)
+    pad = nc * kc - K
+    if pad:
+        Vm = jnp.pad(Vm, ((0, pad), (0, 0)))
+    Vc = Vm.reshape(nc, kc, N)
+    Bh = Vc.astype(jnp.float32)
+    return Bh, (Vc - Bh.astype(jnp.float64)).astype(jnp.float32)
+
+
+def split_matmul(Tm=None, Vm=None, kc: int = 64, A_pre=None, B_pre=None):
     """(M,K) @ (K,N) f64 as Ozaki-split f32 MXU GEMMs.
 
     Each f64 operand is split hi/lo into two f32 halves (48-bit combined
@@ -115,21 +139,15 @@ def split_matmul(Tm, Vm, kc: int = 64):
     combined in f64.  Measured end-to-end on H2O/cc-pVTZ CCSD: converged
     energy within ~2e-9 Ha of the all-f64 path (f64 GEMMs are emulated
     at ~0.15 TFLOP/s; these run on the native f32 path).  Error scales
-    ~linearly with kc."""
-    M, K = Tm.shape
-    N = Vm.shape[1]
-    f32, f64 = jnp.float32, jnp.float64
-    nc = -(-K // kc)
-    pad = nc * kc - K
-    if pad:
-        Tm = jnp.pad(Tm, ((0, 0), (0, pad)))
-        Vm = jnp.pad(Vm, ((0, pad), (0, 0)))
-    Tc = Tm.reshape(M, nc, kc).transpose(1, 0, 2)  # (c, M, kc)
-    Vc = Vm.reshape(nc, kc, N)
-    Ah = Tc.astype(f32)
-    Al = (Tc - Ah.astype(f64)).astype(f32)
-    Bh = Vc.astype(f32)
-    Bl = (Vc - Bh.astype(f64)).astype(f32)
+    ~linearly with kc.
+
+    A_pre/B_pre take already-split (hi, lo) chunk-layout halves for
+    operands that are loop constants — converting the O(v^4) ERI slice
+    inside the CC while_loop cost ~8 ms/iteration (profiled), so the
+    solver hoists those conversions out of the loop (presplit_consts)."""
+    Ah, Al = A_pre if A_pre is not None else _chunk_A(Tm, kc)
+    Bh, Bl = B_pre if B_pre is not None else _chunk_B(Vm, kc)
+    f64 = jnp.float64
     es = partial(jnp.einsum, optimize=True)
     return (
         es("cmk,ckn->cmn", Ah, Bh).astype(f64)
@@ -164,38 +182,110 @@ def split_einsum(sub: str, A, B, kc: int = 64):
     return jnp.transpose(C, [(fa + fb).index(c) for c in out])
 
 
-def _split_gemm_chunked(tau_b, v_b, kc: int = 64):
+def _split_gemm_chunked(tau_b, v_b, kc: int = 64, B_pre=None):
     """sum_ef tau[i,j,e,f] v[e,f,a,b] via split_matmul."""
-    o = tau_b.shape[0]
-    K = tau_b.shape[2] * tau_b.shape[3]
-    out = split_matmul(tau_b.reshape(o * o, K), v_b.reshape(K, -1), kc)
+    o, _, e1, f1 = tau_b.shape
+    K = e1 * f1
+    out = split_matmul(
+        tau_b.reshape(o * o, K),
+        None if B_pre is not None else v_b.reshape(K, -1),
+        kc,
+        B_pre=B_pre,
+    )
     return out.reshape(o, o, v_b.shape[2], v_b.shape[3])
 
 
-def tau_vvvv_split(tau, vvvv):
+class HybridConsts(NamedTuple):
+    """Pre-split (hi, lo) f32 chunk-layout halves of the loop-constant
+    ERI operands consumed by the hybrid split-f32 GEMMs.  Built once per
+    solve by presplit_consts and closed over by the while_loop body —
+    re-deriving them inside the loop cost ~10 ms/iteration of f64->f32
+    conversion traffic on the O(v^4) slice alone (profiled)."""
+
+    vvvv_aa: tuple  # (hi, lo), (c, kc, vs^2) each
+    vvvv_bb: tuple
+    vvvv_ab: tuple
+    ovvv_ef: tuple  # <ma||ef> keyed (ef, ma) for the G intermediate
+    oovv_me: tuple  # <mn||ef> keyed (me, nf) for the W_mbej tau term
+
+
+def presplit_consts(v: SpinSlices, kc: int = 64) -> HybridConsts:
+    nv = v.vvvv.shape[0]
+    vs = nv // 2
+    A, B = slice(0, vs), slice(vs, None)
+    no = v.oovv.shape[0]
+    return HybridConsts(
+        vvvv_aa=_chunk_B(v.vvvv[A, A, A, A].reshape(vs * vs, vs * vs), kc),
+        vvvv_bb=_chunk_B(v.vvvv[B, B, B, B].reshape(vs * vs, vs * vs), kc),
+        vvvv_ab=_chunk_B(v.vvvv[A, B, A, B].reshape(vs * vs, vs * vs), kc),
+        ovvv_ef=_chunk_B(
+            jnp.transpose(v.ovvv, (2, 3, 0, 1)).reshape(nv * nv, no * nv), kc
+        ),
+        oovv_me=_chunk_A(
+            jnp.transpose(v.oovv, (0, 2, 1, 3)).reshape(no * nv, no * nv), kc
+        ),
+    )
+
+
+def tau_vvvv_split(tau, vvvv, consts: HybridConsts | None = None):
     """tau_vvvv_blocked with the three spin-block GEMMs in split-f32
     (see _split_gemm_chunked) — the CCSD analogue of the triples hybrid
     path, selected by `ccsd_precision = "hybrid"` in els.in."""
     nv = vvvv.shape[0]
     vs = nv // 2
     A, B = slice(0, vs), slice(vs, None)
-    aa = _split_gemm_chunked(tau[:, :, A, A], vvvv[A, A, A, A])
-    bb = _split_gemm_chunked(tau[:, :, B, B], vvvv[B, B, B, B])
-    ab = 2.0 * _split_gemm_chunked(tau[:, :, A, B], vvvv[A, B, A, B])
+    pre = (None, None, None) if consts is None else (
+        consts.vvvv_aa, consts.vvvv_bb, consts.vvvv_ab
+    )
+    aa = _split_gemm_chunked(tau[:, :, A, A], vvvv[A, A, A, A], B_pre=pre[0])
+    bb = _split_gemm_chunked(tau[:, :, B, B], vvvv[B, B, B, B], B_pre=pre[1])
+    ab = 2.0 * _split_gemm_chunked(tau[:, :, A, B], vvvv[A, B, A, B], B_pre=pre[2])
     ba = -jnp.transpose(ab, (0, 1, 3, 2))
     top = jnp.concatenate([aa, ab], axis=3)
     bot = jnp.concatenate([ba, bb], axis=3)
     return 0.5 * jnp.concatenate([top, bot], axis=2)
 
 
+def _w4_split(oovv, Z, consts: HybridConsts | None):
+    """w4[m,b,e,j] = sum_nf <mn||ef> Z[j,n,f,b] as one split GEMM with
+    the <mn||ef> side pre-split when available."""
+    no, nv = oovv.shape[0], oovv.shape[2]
+    Zm = jnp.transpose(Z, (1, 2, 0, 3)).reshape(no * nv, no * nv)  # (nf, jb)
+    if consts is None:
+        Am = jnp.transpose(oovv, (0, 2, 1, 3)).reshape(no * nv, no * nv)
+        C = split_matmul(Am, Zm)
+    else:
+        C = split_matmul(None, Zm, A_pre=consts.oovv_me)
+    C = C.reshape(no, nv, no, nv)  # (m, e, j, b)
+    return jnp.transpose(C, (0, 3, 1, 2))  # (m, b, e, j)
+
+
+def _g_split(tau, ovvv, consts: HybridConsts | None):
+    """G[i,j,m,a] = sum_ef tau[i,j,e,f] <ma||ef> with the <ma||ef> side
+    pre-split when available."""
+    no, _, nv, _ = tau.shape
+    if consts is None:
+        Bm = jnp.transpose(ovvv, (2, 3, 0, 1)).reshape(nv * nv, -1)
+        C = split_matmul(tau.reshape(no * no, nv * nv), Bm)
+    else:
+        C = split_matmul(
+            tau.reshape(no * no, nv * nv), None, B_pre=consts.ovvv_ef
+        )
+    return C.reshape(no, no, ovvv.shape[0], ovvv.shape[1])
+
+
 def _iteration_core(
-    t1, t2, v: SpinSlices, D_ia, D_ijab, *, paper_foo: bool, vvvv_split: bool = False
+    t1,
+    t2,
+    v: SpinSlices,
+    D_ia,
+    D_ijab,
+    consts: HybridConsts | None = None,
+    *,
+    paper_foo: bool,
+    vvvv_split: bool = False,
 ):
     es = partial(jnp.einsum, optimize=True)
-    # hybrid mode: the O(o^3 v^3) contractions also go through the
-    # split-f32 GEMM path (the f64-emulated versions are the second-
-    # largest slice of the iteration wall after tau*vvvv)
-    hs = split_einsum if vvvv_split else None  # resolved to bs below
     # Sz-block-sparse evaluation for the contractions that stay f64:
     # forbidden spin blocks are exact zeros (ops/spin_einsum.py), so
     # skipping them is exact up to f64 reassociation while cutting the
@@ -204,8 +294,6 @@ def _iteration_core(
     from ..ops.spin_einsum import spin_blocked_einsum
 
     bs = spin_blocked_einsum if t1.shape[0] % 2 == 0 and t1.shape[1] % 2 == 0 else es
-    if hs is None:
-        hs = bs
 
     # -------- tau / tau~ (ccsd.f90:678-715) --------
     x = es("ia,jb->ijab", t1, t1)
@@ -251,7 +339,10 @@ def _iteration_core(
     # W_vvvv, ccsd.f90:846-858 — prohibitive in HBM at pVTZ scale).
     # W_mbej (Eq. 8)
     Z = 0.5 * t2 + es("jf,nb->jnfb", t1, t1)  # [j,n,f,b]
-    w4 = hs("mnef,jnfb->mbej", v.oovv, Z)
+    if vvvv_split:
+        w4 = _w4_split(v.oovv, Z, consts)
+    else:
+        w4 = bs("mnef,jnfb->mbej", v.oovv, Z)
     W_ovvo = (
         v.ovvo
         + bs("mbef,jf->mbej", v.ovvv, t1)
@@ -299,10 +390,11 @@ def _iteration_core(
     # (O(o^3 v) memory instead of O(v^4)).
     # vvvv is (ab)<->(ef) symmetric
     if vvvv_split:
-        tmp_t2 += tau_vvvv_split(tau, v.vvvv)
+        tmp_t2 += tau_vvvv_split(tau, v.vvvv, consts)
+        G = _g_split(tau, v.ovvv, consts)
     else:
         tmp_t2 += tau_vvvv_blocked(tau, v.vvvv)
-    G = hs("ijef,maef->ijma", tau, v.ovvv)
+        G = bs("ijef,maef->ijma", tau, v.ovvv)
     tmp_t2 += 0.5 * (es("ijma,mb->ijab", G, t1) - es("ijmb,ma->ijab", G, t1))
     t2_new = tmp_t2 / D_ijab
 
@@ -368,10 +460,12 @@ ccsd_spinorb_solver_paper = make_cc_solver(
     ccsd_spinorb_iteration_paper, cc_energy_spinorb
 )
 ccsd_spinorb_solver_hybrid = make_cc_solver(
-    ccsd_spinorb_iteration_hybrid, cc_energy_spinorb
+    ccsd_spinorb_iteration_hybrid, cc_energy_spinorb, precompute=presplit_consts
 )
 ccsd_spinorb_solver_paper_hybrid = make_cc_solver(
-    ccsd_spinorb_iteration_paper_hybrid, cc_energy_spinorb
+    ccsd_spinorb_iteration_paper_hybrid,
+    cc_energy_spinorb,
+    precompute=presplit_consts,
 )
 
 

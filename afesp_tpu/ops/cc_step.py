@@ -90,8 +90,11 @@ def _make_step_body(iteration_fn, energy_fn):
     """The un-jitted one-iteration body shared by the per-step and the
     whole-solve (while_loop) entry points."""
 
-    def step(state: CCState, v, D_ia, D_ijab, oovv, *, nerr: int):
-        t1n, t2n = iteration_fn(state.t1, state.t2, v, D_ia, D_ijab)
+    def step(state: CCState, v, D_ia, D_ijab, oovv, *, nerr: int, consts=None):
+        if consts is None:
+            t1n, t2n = iteration_fn(state.t1, state.t2, v, D_ia, D_ijab)
+        else:
+            t1n, t2n = iteration_fn(state.t1, state.t2, v, D_ia, D_ijab, consts)
         e, rms2 = energy_fn(t1n, t2n, state.t2_old, oovv)
 
         # ---- DIIS update (ccsd.f90:617-676) ----
@@ -150,7 +153,7 @@ def make_fused_cc_step(iteration_fn, energy_fn):
     )
 
 
-def make_cc_solver(iteration_fn, energy_fn):
+def make_cc_solver(iteration_fn, energy_fn, precompute=None):
     """Build a jitted whole-solve: the complete DIIS-accelerated CC fixed
     point iteration as ONE compiled program (lax.while_loop), with the
     per-iteration convergence test on device.
@@ -171,11 +174,17 @@ def make_cc_solver(iteration_fn, energy_fn):
         (state, n_iter, converged, hist_e, hist_rms)
     where hist_e/hist_rms are (maxiter,) arrays valid for the first
     n_iter entries.
+
+    precompute(v) -> consts: optional hook evaluated ONCE per solve,
+    outside the while_loop; the loop body closes over the result.  Used
+    to hoist loop-invariant derived operands (e.g. the hybrid path's
+    pre-split f32 halves of the ERI slices) out of every iteration.
     """
     body_step = _make_step_body(iteration_fn, energy_fn)
 
     @partial(jax.jit, static_argnames=("nerr", "maxiter"))
     def solve(state0, v, D_ia, D_ijab, oovv, e0, e_tol, t_tol, *, nerr, maxiter):
+        consts = precompute(v) if precompute is not None else None
         hist_e = jnp.zeros(maxiter)
         hist_rms = jnp.zeros(maxiter)
 
@@ -185,7 +194,9 @@ def make_cc_solver(iteration_fn, energy_fn):
 
         def body(carry):
             state, it, e_old, _, hist_e, hist_rms = carry
-            state, e, rms2 = body_step(state, v, D_ia, D_ijab, oovv, nerr=nerr)
+            state, e, rms2 = body_step(
+                state, v, D_ia, D_ijab, oovv, nerr=nerr, consts=consts
+            )
             done = (jnp.sqrt(rms2) < t_tol) & (jnp.abs(e - e_old) < e_tol)
             hist_e = hist_e.at[it].set(e)
             hist_rms = hist_rms.at[it].set(rms2)
