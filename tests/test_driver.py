@@ -66,3 +66,42 @@ def test_cli_error_path_exits_999(sample_data, tmp_path, capsys):
     assert rc == 999
     err = capsys.readouterr().err
     assert " ERROR." in err and "guess_in.dat" in err and " EXITING..." in err
+
+
+@pytest.mark.parametrize(
+    "calc,needles",
+    [
+        ("RHF", ["RHF energy:"]),
+        ("MP2_spatial", ["MP2 correlation energy:", "MP2 energy:"]),
+        ("CCSD_spatial", ["CCSD correlation energy:", "CCSD energy:"]),
+    ],
+)
+def test_driver_dispatch_short_pipelines(sample_data, tmp_path, calc, needles):
+    """The non-triples calc_type dispatches (main.F90:47-120) must stop
+    at their stage and still print a reference-format breakdown."""
+    import shutil
+
+    src = sample_data / "n2-cc-pvdz/2.00_0.00"
+    for f in ("s.dat", "t.dat", "v.dat", "geom.dat", "eri.dat"):
+        shutil.copy(src / f, tmp_path / f)
+    (tmp_path / "els.in").write_text(
+        f'&elsinput\ncalc_type="{calc}",\nscf_e_tol=1e-6,\nscf_d_tol=1e-7,\n'
+        "scf_diis_n_errmat=6,\nccsd_e_tol=1e-6,\nccsd_t_tol=1e-7,\n"
+        "ccsd_diis_n_errmat=8,\nscf_maxiter=150,\nccsd_maxiter=200,\n"
+        "write_fcidump=.false.,\nscf_read_guess=.false.,\n"
+        "scf_write_guess=.false.,\n/\n"
+    )
+    buf = io.StringIO()
+    run_calculation(tmp_path, rep=Reporter(stream=buf))
+    out = buf.getvalue()
+    block = "\n".join(_breakdown_block(out))
+    assert "Final energy breakdown" in block
+    for needle in needles:
+        assert needle in block, needle
+    # the converged HF value here is trajectory-dependent (core-guess
+    # start + 1e-6 tolerance, unlike the guess-chained els.out run), so
+    # assert structure, not a golden value
+    if calc == "RHF":
+        assert "MP2" not in block and "CCSD" not in block
+    if calc == "MP2_spatial":
+        assert "CCSD" not in block
