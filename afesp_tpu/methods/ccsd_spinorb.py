@@ -524,18 +524,13 @@ def do_ccsd_spinorb(
         )
         from ..ops.spin import spin_slices_symmetry_error
 
-        err = float(spin_slices_symmetry_error(v.oooo, v.oovv, v.vvvv))
-        # the reference compares against depsilon=1e-12 on exact Fortran
-        # copies; our einsum construction carries ~1e-17/element roundoff
-        # asymmetry under TPU f64 emulation, so the tolerance scales with
-        # the number of summed elements (still ~9 orders below any real
-        # symmetry violation)
-        tol = max(1e-10, 1e-13 * 4 * (v.oooo.size + v.vvvv.size))
-        if err > tol:
-            rep.write(f" Permutational symmetry error: {err:15.6E}")
-            raise RuntimeError(
-                "Permutational symmetry of antisymmetrised integrals does not hold"
-            )
+        # dispatched now, read back after the solve is queued: the
+        # device serializes the work either way, but blocking here would
+        # add a tunnel round-trip before the solver can even dispatch.
+        # On failure the error still surfaces before any result is
+        # returned (the reference aborts before iterating; we abort
+        # after — same user-visible contract, error block included).
+        selfcheck_err = spin_slices_symmetry_error(v.oooo, v.oovv, v.vvvv)
     rep.write(f" Time taken: {time.perf_counter() - t0_stage:8.6f} s")
     rep.write("")
     rep.write(" Forming slices of antisymmetrised spinorbital ERIs")
@@ -581,6 +576,19 @@ def do_ccsd_spinorb(
     it = int(n_iter)
     converged = bool(done)
     wall = time.perf_counter() - t_solve
+    if cfg.spinorb_selfcheck:
+        err = float(selfcheck_err)
+        # the reference compares against depsilon=1e-12 on exact Fortran
+        # copies; our einsum construction carries ~1e-17/element roundoff
+        # asymmetry under TPU f64 emulation, so the tolerance scales with
+        # the number of summed elements (still ~9 orders below any real
+        # symmetry violation)
+        tol = max(1e-10, 1e-13 * 4 * (v.oooo.size + v.vvvv.size))
+        if err > tol:
+            rep.write(f" Permutational symmetry error: {err:15.6E}")
+            raise RuntimeError(
+                "Permutational symmetry of antisymmetrised integrals does not hold"
+            )
     hist_e = np.asarray(hist_e)
     hist_rms = np.asarray(hist_rms)
     per_iter = wall / max(it, 1)
