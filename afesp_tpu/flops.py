@@ -50,12 +50,19 @@ def sz_fraction(spec: str) -> float:
     return ok / 2 ** len(letters)
 
 
-def spinorb_ccsd_iteration_flops(o: int, v: int) -> float:
+def spinorb_ccsd_iteration_flops(o: int, v: int, precision: str = "f64") -> float:
     """One spin-orbital CCSD iteration (ccsd_spinorb_iteration +
-    fused DIIS), in f64 FLOPs *as executed*: contractions evaluated
+    fused DIIS), in FLOPs *as executed*: contractions evaluated
     Sz-block-sparse carry their surviving-block fraction (sz_fraction),
     so the TFLOP/s bench numbers reflect work actually issued, not the
-    dense-algorithm count."""
+    dense-algorithm count.
+
+    precision="hybrid" counts the three contractions the hybrid path
+    runs as Ozaki split-f32 GEMMs (_w4_split, tau_vvvv_split, _g_split)
+    at their executed cost — 3 f32 products over the DENSE operand (the
+    split GEMM cannot exploit Sz blocks on the w4/G terms) — so the
+    reported TFLOP/s is honest for the mode the headline bench runs."""
+    hybrid = precision == "hybrid"
     f = sz_fraction
     mac = 0.0
     # F intermediates (spin-blocked)
@@ -69,7 +76,10 @@ def spinorb_ccsd_iteration_flops(o: int, v: int) -> float:
     mac += f("mnef,ijef->mnij") * o**4 * v * v
     mac += f("mbef,jf->mbej") * o * o * v**3
     mac += o**3 * v * v             # nb,nmej->mbej (dense)
-    mac += f("mnef,jnfb->mbej") * o**3 * v**3  # split-f32 in hybrid; counted blocked
+    if hybrid:
+        mac += 3 * o**3 * v**3  # _w4_split: 3 f32 products, dense GEMM
+    else:
+        mac += f("mnef,jnfb->mbej") * o**3 * v**3
     # T1
     mac += o * v * v + o * o * v + 2 * (o * v) ** 2
     mac += f("mife,mafe->ia") * o * o * v**3
@@ -83,8 +93,12 @@ def spinorb_ccsd_iteration_flops(o: int, v: int) -> float:
     mac += f("ie,ejab->ijab") * o * o * v**3
     mac += o**3 * v * v             # mi,mjab
     mac += f("mnij,mnab->ijab") * o**4 * v * v
-    mac += 3 * o * o * (v // 2) ** 4  # blocked tau*vvvv (3 spin-block GEMMs)
-    mac += f("ijef,maef->ijma") * o**3 * v**3  # G
+    # blocked tau*vvvv: 3 spin-block GEMMs; x3 f32 products when split
+    mac += (9 if hybrid else 3) * o * o * (v // 2) ** 4
+    if hybrid:
+        mac += 3 * o**3 * v**3  # _g_split: 3 f32 products, dense GEMM
+    else:
+        mac += f("ijef,maef->ijma") * o**3 * v**3  # G
     mac += 2 * o**3 * v * v         # G*t1 (two terms)
     mac += o * o * v * v            # energy reduction
     # DIIS gram matrix: nerr^2 * size ~ 64 * (ov + o^2 v^2)

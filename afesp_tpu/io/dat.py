@@ -91,16 +91,36 @@ def read_eri_dense(path: str | Path, nbasis: int) -> np.ndarray:
     path = Path(path)
     # sidecar binary cache: the pure-Python text parse of a >=100-bf
     # eri.dat (~0.5 GB, ~20M lines) costs minutes on one core; the .npy
-    # reload costs ~1 s.  Keyed on the source mtime; regenerable, never
-    # committed.
+    # reload costs ~1 s.  Validated by a content fingerprint (source byte
+    # size + head bytes) rather than mtime alone: mtime-preserving tools
+    # (rsync -a, cp -p, tar -x) can otherwise leave a stale cache over
+    # different data.  Regenerable, never committed.
     cache = path.with_suffix(".dat.npy")
-    if cache.exists() and cache.stat().st_mtime >= path.stat().st_mtime:
-        tab = np.load(cache)
-    else:
+    meta = cache.with_suffix(".npy.meta")
+    tab = None
+    if cache.exists() and meta.exists():
+        try:
+            import json
+
+            m = json.loads(meta.read_text())
+            with open(path, "rb") as f:
+                head = f.read(64).decode("ascii", "replace")
+            if m.get("size") == path.stat().st_size and m.get("head") == head:
+                tab = np.load(cache)
+        except (OSError, ValueError):
+            tab = None
+    if tab is None:
         tab = _parse_numeric_table(path, 5)
         if tab.shape[0] > 2_000_000:
             try:
+                import json
+
                 np.save(cache, tab)
+                with open(path, "rb") as f:
+                    head = f.read(64).decode("ascii", "replace")
+                meta.write_text(
+                    json.dumps({"size": path.stat().st_size, "head": head})
+                )
             except OSError:
                 pass  # read-only fixture dir — cache is best-effort
     i, j, k, l = (tab[:, c].astype(np.int64) - 1 for c in range(4))

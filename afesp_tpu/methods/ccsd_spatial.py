@@ -183,7 +183,28 @@ def _intermediates(t1, t2, v: Slices):
     )
 
 
-def _iteration_core(t1, t2, v: Slices, D_ia, D_ijab, *, vvvv_split: bool = False):
+class SpatialHybridConsts(NamedTuple):
+    """Pre-split (hi, lo) f32 chunk-layout halves of the loop-constant
+    v_vvvv operand consumed by the hybrid split-f32 vvvv GEMM — built
+    once per solve (make_cc_solver's precompute hook); re-splitting the
+    O(v^4) slice inside the while_loop cost ~8-10 ms/iteration."""
+
+    vvvv_ab_ef: tuple  # (hi, lo), A-side chunk layout of v_vvvv[(ab),(ef)]
+
+
+def spatial_presplit(v: Slices, kc: int = 64) -> SpatialHybridConsts:
+    from .ccsd_spinorb import _chunk_A
+
+    nv = v.v_vvvv.shape[0]
+    # split_einsum("efab,ijef->ijab", vvvv, c) puts vvvv on the A side in
+    # (ab, ef) layout — replicate that layout here
+    Am = jnp.transpose(v.v_vvvv, (2, 3, 0, 1)).reshape(nv * nv, nv * nv)
+    return SpatialHybridConsts(vvvv_ab_ef=_chunk_A(Am, kc))
+
+
+def _iteration_core(
+    t1, t2, v: Slices, D_ia, D_ijab, consts=None, *, vvvv_split: bool = False
+):
     """One T1/T2 update, Piecuch Eqs. 43-44 (debug twin ccsd.f90:1487-1530).
 
     vvvv_split routes the dominant O(o^2 v^4) c_oovv * v_vvvv contraction
@@ -209,9 +230,17 @@ def _iteration_core(t1, t2, v: Slices, D_ia, D_ijab, *, vvvv_split: bool = False
 
     # ---------------- T2 (Eq. 44; ccsd.f90:1497-1526) ----------------
     if vvvv_split:
-        from .ccsd_spinorb import split_einsum
+        from .ccsd_spinorb import split_einsum, split_matmul
 
-        vvvv_term = 0.5 * split_einsum("efab,ijef->ijab", v.v_vvvv, c_oovv)
+        if consts is None:
+            vvvv_term = 0.5 * split_einsum("efab,ijef->ijab", v.v_vvvv, c_oovv)
+        else:
+            no, nv = t1.shape
+            Bm = jnp.transpose(c_oovv, (2, 3, 0, 1)).reshape(nv * nv, no * no)
+            C = split_matmul(None, Bm, A_pre=consts.vvvv_ab_ef)  # (ab, ij)
+            vvvv_term = 0.5 * jnp.transpose(
+                C.reshape(nv, nv, no, no), (2, 3, 0, 1)
+            )
     else:
         vvvv_term = 0.5 * es("efab,ijef->ijab", v.v_vvvv, c_oovv)
     X = (
@@ -249,7 +278,7 @@ from ..ops.cc_step import init_cc_state, make_cc_solver  # noqa: E402
 
 ccsd_spatial_solver = make_cc_solver(ccsd_iteration, cc_energy_restricted)
 ccsd_spatial_solver_hybrid = make_cc_solver(
-    ccsd_iteration_hybrid, cc_energy_restricted
+    ccsd_iteration_hybrid, cc_energy_restricted, precompute=spatial_presplit
 )
 
 

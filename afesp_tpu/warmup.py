@@ -72,6 +72,10 @@ def _prefetch_spinorb(
     solver = get_spinorb_solver(
         paper_foo=equations == "paper", vvvv_split=precision == "hybrid"
     )
+    # the triples stage resolves its own precision (do_ccsd_t_spinorb
+    # defaults to the Pallas finale on tpu/axon backends) — prefetch the
+    # SAME variant or the compile happens again at production time
+    t_prec = "pallas" if jax.default_backend() in ("tpu", "axon") else "hybrid"
 
     if nbasis > _AOT_NBASIS:
         eri_s, lv_s = _sds((nbasis,) * 4), _sds((nbasis,))
@@ -90,11 +94,11 @@ def _prefetch_spinorb(
             from .methods.triples_spinorb import _pick_jlen, _triples_total
 
             nocc, nvirt = nel, 2 * nbasis - nel
-            jlen = _pick_jlen(nocc, nvirt, "hybrid")
+            jlen = _pick_jlen(nocc, nvirt, t_prec)
             _triples_total.lower(
                 t1_s, t2_s, v_s.vovv, v_s.ovoo, v_s.oovv,
                 _sds((nocc,)), _sds((nvirt,)),
-                nocc=nocc, jlen=jlen, precision="hybrid",
+                nocc=nocc, jlen=jlen, precision=t_prec,
             ).compile()
         return
 
@@ -104,8 +108,12 @@ def _prefetch_spinorb(
         eri, levels, nocc_spatial=no_sp
     )
     state = init_cc_state(t1, t2, nerr)
+    # strong-typed f64 inf tolerances: the production call passes
+    # jnp.float64(cfg.*_tol), and a weak-typed Python float here would
+    # land in a DIFFERENT jit cache entry — silently defeating the warmup
     st, n_iter, *_ = solver(
-        state, v, D_ia, D_ijab, v.oovv, e0, np.inf, np.inf, nerr=nerr, maxiter=maxiter
+        state, v, D_ia, D_ijab, v.oovv, e0,
+        jnp.float64(np.inf), jnp.float64(np.inf), nerr=nerr, maxiter=maxiter
     )
     int(n_iter)  # block until the executable is resident
 
@@ -113,7 +121,7 @@ def _prefetch_spinorb(
         from .methods.triples_spinorb import _pick_jlen, _triples_total
 
         nocc, nvirt = nel, 2 * nbasis - nel
-        jlen = _pick_jlen(nocc, nvirt, "hybrid")
+        jlen = _pick_jlen(nocc, nvirt, t_prec)
         lv = jnp.concatenate([levels[:no_sp], levels[:no_sp], levels[no_sp:], levels[no_sp:]])
         e_t = _triples_total(
             t1,
@@ -125,7 +133,7 @@ def _prefetch_spinorb(
             lv[nocc:],
             nocc=nocc,
             jlen=jlen,
-            precision="hybrid",
+            precision=t_prec,
         )
         float(e_t)
 
@@ -161,8 +169,10 @@ def _prefetch_spatial(
     levels = jnp.asarray(_dummy_levels(nbasis, nocc))
     v, D_ia, D_ijab, t1, t2, e0, _ = spatial_cc_init(eri, levels, nocc=nocc)
     state = init_cc_state(t1, t2, nerr)
+    # strong-typed f64 tolerances — see _prefetch_spinorb
     st, n_iter, *_ = solver(
-        state, v, D_ia, D_ijab, v.v_oovv, e0, np.inf, np.inf, nerr=nerr, maxiter=maxiter
+        state, v, D_ia, D_ijab, v.v_oovv, e0,
+        jnp.float64(np.inf), jnp.float64(np.inf), nerr=nerr, maxiter=maxiter
     )
     int(n_iter)
 

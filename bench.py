@@ -106,7 +106,10 @@ def bench_real(workdir: Path):
     ok_t = abs(e_t - -0.434032756) < 1e-8
 
     o, v = sys_.nocc, sys_.nvirt  # spin-orbital counts
-    fl_ccsd = spinorb_ccsd_iteration_flops(o, v) * cc.iterations
+    fl_ccsd = (
+        spinorb_ccsd_iteration_flops(o, v, precision=cfg.ccsd_precision)
+        * cc.iterations
+    )
     fl_t = spinorb_triples_flops(o, v)
     return wall, {
         "e_ccsd": cc.e_ccsd,
