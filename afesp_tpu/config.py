@@ -81,6 +81,19 @@ class Config:
     # Runtime permutational-symmetry self-check of the antisymmetrised
     # spin-orbital slices (always on in the reference, ccsd.f90:150-173)
     spinorb_selfcheck: bool = True
+    # New: bit-parity switch for the reference's plain-CCSD(T)_spatial
+    # quirk (ccsd.f90:2211-2215): upstream only forms z3_bar when a
+    # renormalised variant is requested, so its plain CCSD(T)_spatial
+    # silently prints the CCSD[T] value.  Default False = compute the
+    # correct (T); True = reproduce the reference's output exactly.
+    ccsd_t_spatial_bug_compat: bool = False
+    # New (no reference counterpart — upstream MPI is an unticked TODO,
+    # README.md:35): device-mesh width for the multi-chip CC/triples
+    # paths.  0 (default) = single device; -1 = all visible devices;
+    # N>=2 = first N devices.  The CC solve runs GSPMD-sharded over the
+    # virtual axis and the triples (i, j-slab) grid is shard_map'd with
+    # psum (parallel/ccsd_shard.py, parallel/triples_shard.py).
+    mesh_devices: int = 0
 
     # Raw text of the input file (echoed into the output, integrals.f90:240-249)
     raw_text: str = ""
@@ -160,6 +173,7 @@ def parse_els_in(text: str) -> Config:
             "ccsd_diis_n_errmat",
             "scf_maxiter",
             "ccsd_maxiter",
+            "mesh_devices",
         ):
             setattr(cfg, key, int(v))
         elif key in (
@@ -169,6 +183,7 @@ def parse_els_in(text: str) -> Config:
             "ccsd_read_amplitudes",
             "ccsd_write_amplitudes",
             "spinorb_selfcheck",
+            "ccsd_t_spatial_bug_compat",
         ):
             setattr(cfg, key, bool(v))
         elif key == "ccsd_spinorb_equations":

@@ -103,6 +103,25 @@ def run_calculation(
 
     res = RunResult(cfg=cfg, sys=sys_, e_nuc=ints.e_nuc)
 
+    # optional device mesh for the multi-chip CC/triples paths (els.in
+    # knob `mesh_devices`; the reference has no distributed backend —
+    # MPI is an unticked TODO, README.md:35)
+    mesh = None
+    if cfg.mesh_devices and cfg.mesh_devices != 1:
+        import jax
+
+        from .parallel.mesh import default_mesh
+
+        ndev = len(jax.devices())
+        want = ndev if cfg.mesh_devices < 0 else cfg.mesh_devices
+        if want > ndev:
+            raise ValueError(
+                f"mesh_devices={cfg.mesh_devices} but only {ndev} devices visible"
+            )
+        if want >= 2:
+            mesh = default_mesh(want)
+            rep.write(f" Using a {want}-device mesh for CC stages.")
+
     hf = hf_mod.do_rhf(sys_, ints, cfg, rep, workdir)
     res.e_hf = hf.e_hf
     res.e_highest = 0.0
@@ -116,7 +135,7 @@ def run_calculation(
         if cfg.wants_ccsd:
             if cfg.restricted:
                 t_cc = time.perf_counter()
-                cc = do_ccsd_spatial(sys_, mp2.eri_mo, cfg, hf, rep, workdir)
+                cc = do_ccsd_spatial(sys_, mp2.eri_mo, cfg, hf, rep, workdir, mesh=mesh)
                 rep.stage_time(
                     "Time taken for restricted CCSD:", time.perf_counter() - t_cc
                 )
@@ -124,20 +143,20 @@ def run_calculation(
                 res.t1_diagnostic = cc.t1_diagnostic
                 res.e_highest = cc.e_ccsd
                 if cfg.wants_triples:
-                    tr = do_ccsd_t_spatial(sys_, cc, cfg, hf.levels, rep)
+                    tr = do_ccsd_t_spatial(sys_, cc, cfg, hf.levels, rep, mesh=mesh)
                     res.triples = tr
                     res.e_highest = tr.e_highest - 0.0
                     calcname = tr.calcname
             else:
                 t_cc = time.perf_counter()
-                cc = do_ccsd_spinorb(sys_, mp2.eri_mo, cfg, hf, rep, workdir)
+                cc = do_ccsd_spinorb(sys_, mp2.eri_mo, cfg, hf, rep, workdir, mesh=mesh)
                 rep.stage_time(
                     "Time taken for unrestricted CCSD:", time.perf_counter() - t_cc
                 )
                 res.e_ccsd = cc.e_ccsd
                 res.e_highest = cc.e_ccsd
                 if cfg.wants_triples:
-                    e_t = do_ccsd_t_spinorb(sys_, cc, cfg, hf.levels, rep)
+                    e_t = do_ccsd_t_spinorb(sys_, cc, cfg, hf.levels, rep, mesh=mesh)
                     res.e_ccsd_t = e_t
                     res.e_highest = e_t
 

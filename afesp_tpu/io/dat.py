@@ -44,19 +44,44 @@ class IntStore:
     ele_nuc: np.ndarray | None = None
     core_hamil: np.ndarray | None = None
     eri: np.ndarray | None = None  # dense (n,n,n,n) chemist (ij|kl)
+    # 8-fold packed unique elements (reference eri_ind order) — the
+    # device transfer format, built directly from the parsed eri.dat
+    # table (cheap; the dense-gather alternative costs ~a minute of
+    # fresh-page faults at 116 bf on this microVM)
+    eri_packed: np.ndarray | None = None
     _eri_dev: object = None  # cached device copy (see eri_on_device)
 
     def eri_on_device(self):
         """The dense ERI as a device array, uploaded ONCE and cached.
 
-        The remote-tunnel TPU uploads at ~30 MB/s, so a 116-bf f64 ERI
-        costs ~50 s to ship; HF's Fock build and the MP2 transform must
-        share one copy instead of each calling jnp.asarray."""
+        Behind the remote axon tunnel (~28 MB/s up) the dense 116-bf f64
+        ERI costs ~52 s to ship, so for non-trivial sizes only the 8-fold
+        packed unique elements travel (8x smaller) and the scatter to the
+        dense tensor runs on device (ops/packed_eri.unpack_eri).  HF's
+        Fock build and the MP2 transform share the one cached copy."""
         if self._eri_dev is None:
             import jax.numpy as jnp
 
-            self._eri_dev = jnp.asarray(self.eri)
+            from ..methods.hf import device_is_remote_tunnel
+            from ..ops.packed_eri import pack_eri, unpack_eri
+
+            n = self.eri.shape[0]
+            if device_is_remote_tunnel() and n**4 > 2e6 and n <= 300:
+                packed = (
+                    self.eri_packed
+                    if self.eri_packed is not None
+                    else pack_eri(self.eri)
+                )
+                self._eri_dev = unpack_eri(jnp.asarray(packed), n=n)
+            else:
+                self._eri_dev = jnp.asarray(self.eri)
         return self._eri_dev
+
+    def free_device_eri(self) -> None:
+        """Drop the cached device AO ERI (after the MP2 transform nothing
+        downstream reads it; at 116 bf this frees 1.45 GB of HBM for the
+        CC stages)."""
+        self._eri_dev = None
 
 
 def _parse_numeric_table(path: Path, ncols: int) -> np.ndarray:
@@ -82,12 +107,28 @@ def read_dat_matrix(path: str | Path, nbasis: int | None = None) -> np.ndarray:
     return mat
 
 
-def read_eri_dense(path: str | Path, nbasis: int) -> np.ndarray:
-    """Read `eri.dat` and scatter into the dense (n,n,n,n) chemist tensor,
-    applying the full 8-fold permutational symmetry
-    (ij|kl)=(ji|kl)=(ij|lk)=(ji|lk)=(kl|ij)=(lk|ij)=(kl|ji)=(lk|ji).
-    Replaces the packed `eri_ind` store (integrals.f90:146-210).
-    """
+def pack_from_table(
+    i: np.ndarray, j: np.ndarray, k: np.ndarray, l: np.ndarray,
+    v: np.ndarray, nbasis: int,
+) -> np.ndarray:
+    """Canonical-quadruple table -> packed 8-fold store in the
+    reference's eri_ind order (integrals.f90:196-210): ij = tri(max)+min
+    over orbital pairs, index = tri(max)+min over pair pairs."""
+    hi, lo = np.maximum(i, j), np.minimum(i, j)
+    ij = hi * (hi + 1) // 2 + lo
+    hk, lk = np.maximum(k, l), np.minimum(k, l)
+    kl = hk * (hk + 1) // 2 + lk
+    phi, plo = np.maximum(ij, kl), np.minimum(ij, kl)
+    ind = phi * (phi + 1) // 2 + plo
+    npair = nbasis * (nbasis + 1) // 2
+    packed = np.zeros(npair * (npair + 1) // 2)
+    packed[ind] = v
+    return packed
+
+
+def read_eri_table(path: str | Path) -> np.ndarray:
+    """Parse `eri.dat` into its (nquad, 5) canonical-quadruple table,
+    with the binary sidecar cache (see inline comments)."""
     path = Path(path)
     # sidecar binary cache: the pure-Python text parse of a >=100-bf
     # eri.dat (~0.5 GB, ~20M lines) costs minutes on one core; the .npy
@@ -123,6 +164,19 @@ def read_eri_dense(path: str | Path, nbasis: int) -> np.ndarray:
                 )
             except OSError:
                 pass  # read-only fixture dir — cache is best-effort
+    return tab
+
+
+def read_eri_dense(
+    path: str | Path, nbasis: int, tab: np.ndarray | None = None
+) -> np.ndarray:
+    """Read `eri.dat` and scatter into the dense (n,n,n,n) chemist tensor,
+    applying the full 8-fold permutational symmetry
+    (ij|kl)=(ji|kl)=(ij|lk)=(ji|lk)=(kl|ij)=(lk|ij)=(kl|ji)=(lk|ji).
+    Replaces the packed `eri_ind` store (integrals.f90:146-210).
+    """
+    if tab is None:
+        tab = read_eri_table(path)
     i, j, k, l = (tab[:, c].astype(np.int64) - 1 for c in range(4))
     v = tab[:, 4]
     eri = np.zeros((nbasis,) * 4)
@@ -183,7 +237,11 @@ def read_integrals(
     ints.ele_nuc = read_dat_matrix(d / "v.dat", sys_.nbasis)
     ints.core_hamil = ints.ke + ints.ele_nuc
     if require_eri or (d / "eri.dat").exists():
-        ints.eri = read_eri_dense(d / "eri.dat", sys_.nbasis)
+        tab = read_eri_table(d / "eri.dat")
+        n = sys_.nbasis
+        ints.eri = read_eri_dense(d / "eri.dat", n, tab=tab)
+        i, j, k, l = (tab[:, c].astype(np.int64) - 1 for c in range(4))
+        ints.eri_packed = pack_from_table(i, j, k, l, tab[:, 4], n)
 
     sys_.natoms, sys_.charges, sys_.coords = read_geometry(d / "geom.dat")
     sys_.nel = int(sys_.charges.sum())

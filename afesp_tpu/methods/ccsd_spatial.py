@@ -306,6 +306,7 @@ def do_ccsd_spatial(
     hf: HFResult,
     rep: Reporter | None = None,
     workdir=".",
+    mesh=None,
 ) -> CCSDResult:
     from pathlib import Path
 
@@ -345,20 +346,31 @@ def do_ccsd_spatial(
 
     state = init_cc_state(t1, t2, cfg.ccsd_diis_n_errmat)
     t_solve = time.perf_counter()
-    state, n_iter, done, hist_e, hist_rms = solver(
-        state,
-        v,
-        D_ia,
-        D_ijab,
-        v.v_oovv,
-        e0,
-        # strong-typed scalars so the AOT-prefetched executable
-        # (warmup.py lowers from f64 ShapeDtypeStructs) is signature-hit
-        jnp.float64(cfg.ccsd_e_tol),
-        jnp.float64(cfg.ccsd_t_tol),
-        nerr=cfg.ccsd_diis_n_errmat,
-        maxiter=cfg.ccsd_maxiter,
-    )
+    if mesh is not None:
+        # multi-chip: the SAME fused solve, GSPMD-sharded over the
+        # virtual axis (parallel/ccsd_shard.py)
+        from ..parallel.ccsd_shard import ccsd_solve_sharded
+
+        state, n_iter, done, hist_e, hist_rms = ccsd_solve_sharded(
+            mesh, solver, state, v, D_ia, D_ijab, v.v_oovv, e0,
+            jnp.float64(cfg.ccsd_e_tol), jnp.float64(cfg.ccsd_t_tol),
+            nerr=cfg.ccsd_diis_n_errmat, maxiter=cfg.ccsd_maxiter,
+        )
+    else:
+        state, n_iter, done, hist_e, hist_rms = solver(
+            state,
+            v,
+            D_ia,
+            D_ijab,
+            v.v_oovv,
+            e0,
+            # strong-typed scalars so the AOT-prefetched executable
+            # (warmup.py lowers from f64 ShapeDtypeStructs) is signature-hit
+            jnp.float64(cfg.ccsd_e_tol),
+            jnp.float64(cfg.ccsd_t_tol),
+            nerr=cfg.ccsd_diis_n_errmat,
+            maxiter=cfg.ccsd_maxiter,
+        )
     it = int(n_iter)
     converged = bool(done)
     wall = time.perf_counter() - t_solve

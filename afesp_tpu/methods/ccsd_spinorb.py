@@ -105,81 +105,14 @@ def tau_vvvv_blocked(tau, vvvv):
     return 0.5 * jnp.concatenate([top, bot], axis=2)
 
 
-def _chunk_A(Tm, kc: int):
-    """(M,K) f64 -> hi/lo f32 halves in the (c, M, kc) chunk layout."""
-    M, K = Tm.shape
-    nc = -(-K // kc)
-    pad = nc * kc - K
-    if pad:
-        Tm = jnp.pad(Tm, ((0, 0), (0, pad)))
-    Tc = Tm.reshape(M, nc, kc).transpose(1, 0, 2)
-    Ah = Tc.astype(jnp.float32)
-    return Ah, (Tc - Ah.astype(jnp.float64)).astype(jnp.float32)
-
-
-def _chunk_B(Vm, kc: int):
-    """(K,N) f64 -> hi/lo f32 halves in the (c, kc, N) chunk layout."""
-    K, N = Vm.shape
-    nc = -(-K // kc)
-    pad = nc * kc - K
-    if pad:
-        Vm = jnp.pad(Vm, ((0, pad), (0, 0)))
-    Vc = Vm.reshape(nc, kc, N)
-    Bh = Vc.astype(jnp.float32)
-    return Bh, (Vc - Bh.astype(jnp.float64)).astype(jnp.float32)
-
-
-def split_matmul(Tm=None, Vm=None, kc: int = 64, A_pre=None, B_pre=None):
-    """(M,K) @ (K,N) f64 as Ozaki-split f32 MXU GEMMs.
-
-    Each f64 operand is split hi/lo into two f32 halves (48-bit combined
-    mantissa); the three significant products (hh, hl, lh) run as f32
-    batched GEMMs with the contraction axis chunked to kc so the MXU's
-    f32 accumulators never sum more than kc terms, and the chunks are
-    combined in f64.  Measured end-to-end on H2O/cc-pVTZ CCSD: converged
-    energy within ~2e-9 Ha of the all-f64 path (f64 GEMMs are emulated
-    at ~0.15 TFLOP/s; these run on the native f32 path).  Error scales
-    ~linearly with kc.
-
-    A_pre/B_pre take already-split (hi, lo) chunk-layout halves for
-    operands that are loop constants — converting the O(v^4) ERI slice
-    inside the CC while_loop cost ~8 ms/iteration (profiled), so the
-    solver hoists those conversions out of the loop (presplit_consts)."""
-    Ah, Al = A_pre if A_pre is not None else _chunk_A(Tm, kc)
-    Bh, Bl = B_pre if B_pre is not None else _chunk_B(Vm, kc)
-    f64 = jnp.float64
-    es = partial(jnp.einsum, optimize=True)
-    return (
-        es("cmk,ckn->cmn", Ah, Bh).astype(f64)
-        + es("cmk,ckn->cmn", Ah, Bl).astype(f64)
-        + es("cmk,ckn->cmn", Al, Bh).astype(f64)
-    ).sum(0)
-
-
-def split_einsum(sub: str, A, B, kc: int = 64):
-    """Two-operand einsum evaluated as an Ozaki-split f32 MXU GEMM
-    (split_matmul) instead of an XLA-emulated f64 contraction.
-
-    Supports plain contractions (no batch/repeated indices): the shared
-    subscripts are contracted, the free ones appear in the output in the
-    order the caller wrote.  Used for the CCSD iteration's O(o^3 v^3)
-    terms in hybrid mode, where the f64-emulation throughput (~0.3
-    TFLOP/s at these shapes) dominates the iteration wall.
-    """
-    ins, out = sub.split("->")
-    sa, sb = ins.split(",")
-    contr = [c for c in sa if c in sb]
-    fa = [c for c in sa if c not in contr]
-    fb = [c for c in sb if c not in contr]
-    assert set(out) == set(fa + fb) and len(set(sa)) == len(sa)
-    Ap = jnp.transpose(A, [sa.index(c) for c in fa + contr])
-    Bp = jnp.transpose(B, [sb.index(c) for c in contr + fb])
-    M = int(np.prod(Ap.shape[: len(fa)], dtype=np.int64))
-    K = int(np.prod(Ap.shape[len(fa) :], dtype=np.int64))
-    N = int(np.prod(Bp.shape[len(contr) :], dtype=np.int64))
-    C = split_matmul(Ap.reshape(M, K), Bp.reshape(K, N), kc)
-    C = C.reshape(Ap.shape[: len(fa)] + Bp.shape[len(contr) :])
-    return jnp.transpose(C, [(fa + fb).index(c) for c in out])
+# Split-f32 GEMM machinery — shared with the large-basis Fock build and
+# AO->MO transform; re-exported here for its historical import site.
+from ..ops.split_gemm import (  # noqa: E402,F401
+    _chunk_A,
+    _chunk_B,
+    split_einsum,
+    split_matmul,
+)
 
 
 def _split_gemm_chunked(tau_b, v_b, kc: int = 64, B_pre=None):
@@ -500,6 +433,7 @@ def do_ccsd_spinorb(
     hf: HFResult,
     rep: Reporter | None = None,
     workdir=".",
+    mesh=None,
 ) -> CCSDSpinorbResult:
     from pathlib import Path
 
@@ -559,20 +493,31 @@ def do_ccsd_spinorb(
 
     state = init_cc_state(t1, t2, cfg.ccsd_diis_n_errmat)
     t_solve = time.perf_counter()
-    state, n_iter, done, hist_e, hist_rms = solver(
-        state,
-        v,
-        D_ia,
-        D_ijab,
-        v.oovv,
-        e0,
-        # strong-typed scalars so the AOT-prefetched executable
-        # (warmup.py lowers from f64 ShapeDtypeStructs) is signature-hit
-        jnp.float64(cfg.ccsd_e_tol),
-        jnp.float64(cfg.ccsd_t_tol),
-        nerr=cfg.ccsd_diis_n_errmat,
-        maxiter=cfg.ccsd_maxiter,
-    )
+    if mesh is not None:
+        # multi-chip: the SAME fused solve, GSPMD-sharded over the
+        # virtual axis (parallel/ccsd_shard.py)
+        from ..parallel.ccsd_shard import ccsd_solve_sharded
+
+        state, n_iter, done, hist_e, hist_rms = ccsd_solve_sharded(
+            mesh, solver, state, v, D_ia, D_ijab, v.oovv, e0,
+            jnp.float64(cfg.ccsd_e_tol), jnp.float64(cfg.ccsd_t_tol),
+            nerr=cfg.ccsd_diis_n_errmat, maxiter=cfg.ccsd_maxiter,
+        )
+    else:
+        state, n_iter, done, hist_e, hist_rms = solver(
+            state,
+            v,
+            D_ia,
+            D_ijab,
+            v.oovv,
+            e0,
+            # strong-typed scalars so the AOT-prefetched executable
+            # (warmup.py lowers from f64 ShapeDtypeStructs) is signature-hit
+            jnp.float64(cfg.ccsd_e_tol),
+            jnp.float64(cfg.ccsd_t_tol),
+            nerr=cfg.ccsd_diis_n_errmat,
+            maxiter=cfg.ccsd_maxiter,
+        )
     it = int(n_iter)
     converged = bool(done)
     wall = time.perf_counter() - t_solve

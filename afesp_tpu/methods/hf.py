@@ -13,13 +13,13 @@ latency-bound, and — measured on v5e — the TPU QDWH eigensolver carries
 ~1e-6 eigenvector error under f64 emulation, far outside the 1e-8 Ha
 accuracy contract.  So the SCF loop runs on host LAPACK/numpy (exactly
 the dsyev/dgemm semantics of the reference).  The O(N^4) Fock build has
-two large-basis fast paths, picked by hardware model: on a direct-
-attached TPU, `fock_build_jax` contracts against a device-resident ERI
-(plus a one-time (ik|jl) re-sort for the exchange term); behind the
-remote axon tunnel (~28 MB/s up, ~0.5 MB/s down — uploading the ERI
-alone costs ~50 s) the same two contractions run as host BLAS gemv's
-over a one-time host-side re-sort.  The FLOP-heavy stages (CCSD,
-triples) always run on TPU.
+two large-basis fast paths: on any TPU backend (direct or behind the
+axon tunnel) the packed ERI is shipped once (8x smaller than dense),
+unpacked on device, pre-split hi/lo f32 ONCE, and every Fock build runs
+as two Ozaki-split f32 MXU GEMVs (`_fock_build_split`); on a large-n CPU
+backend the two contractions run as host BLAS gemv's over a one-time
+(ik|jl) re-sort.  The FLOP-heavy stages (CCSD, triples) always run on
+TPU.
 """
 
 from __future__ import annotations
@@ -64,15 +64,6 @@ class HFResult:
 
 
 @jax.jit
-def _eri_k_layout(eri):
-    """(ik|jl) pre-sorted so the exchange contraction is a plain
-    minormost-(k,l) GEMM: eri_K[i,j,k,l] = eri[i,k,j,l].  Built ONCE per
-    SCF — an emulated-f64 transpose of the n^4 tensor costs seconds per
-    call via f32 limb copies, which used to run inside every Fock build."""
-    return jnp.transpose(eri, (0, 2, 1, 3))
-
-
-@jax.jit
 def fock_build_jax(H, eri, D, eri_K=None):
     """F = Hcore + 2J - K on the MXU (replaces the packed-ERI OpenMP loop,
     hf.f90:349-385)."""
@@ -84,17 +75,47 @@ def fock_build_jax(H, eri, D, eri_K=None):
     return H + 2.0 * J - K
 
 
+@jax.jit
+def _fock_split_consts(eri):
+    """One-time int8 digitization (ops/exact_gemm) of the Coulomb
+    (ij|kl) and exchange (ik|jl) ERI matricisations for the exact-GEMM
+    Fock build.  An emulated-f64 einsum over the n^4 tensor decomposes
+    the operand into f32 limb arrays ~8x its f64 bytes on EVERY call;
+    digitizing once costs 7 int8 limbs = 7 bytes/element (LESS than the
+    f64 original) and every Fock build runs at int8-MXU rate."""
+    from ..ops.exact_gemm import digitize_A
+
+    n = eri.shape[0]
+    Em = eri.reshape(n * n, n * n)
+    Km = jnp.transpose(eri, (0, 2, 1, 3)).reshape(n * n, n * n)
+    return digitize_A(Em), digitize_A(Km)
+
+
+@jax.jit
+def _fock_build_split(H, D, consts):
+    """F = Hcore + 2J - K with J/K as exact integer-limb int8 MXU GEMVs
+    over the pre-digitized ERI matricisations — f64-grade (~2^-49 of
+    scale, tests/test_split_transform.py), so large-basis SCF carries no
+    precision penalty versus the <=58-bf host trajectory path."""
+    from ..ops.exact_gemm import exact_gemm
+
+    n = H.shape[0]
+    d = D.reshape(-1, 1)
+    J = exact_gemm(B=d, A_dig=consts[0]).reshape(n, n)
+    K = exact_gemm(B=d, A_dig=consts[1]).reshape(n, n)
+    return H + 2.0 * J - K
+
+
 def _build_fock(
     H: np.ndarray,
     eri: np.ndarray,
     D: np.ndarray,
-    eri_dev,
-    eri_K_dev=None,
+    fock_consts=None,
     eri_K_host: np.ndarray | None = None,
 ) -> np.ndarray:
-    if eri_dev is not None:
+    if fock_consts is not None:
         return np.asarray(
-            fock_build_jax(jnp.asarray(H), eri_dev, jnp.asarray(D), eri_K_dev)
+            _fock_build_split(jnp.asarray(H), jnp.asarray(D), fock_consts)
         )
     n = H.shape[0]
     J = (eri.reshape(n * n, n * n) @ D.ravel()).reshape(n, n)
@@ -162,14 +183,18 @@ def do_rhf(
     S = ints.ovlp
     H = ints.core_hamil
     eri = ints.eri
-    eri_dev = eri_K_dev = eri_K_host = None
+    fock_consts = eri_K_host = None
     if n >= _TPU_FOCK_NBASIS and eri is not None:
-        if device_is_remote_tunnel():
-            # one-time (ik|jl) re-sort: every Fock build is two dgemv's
-            eri_K_host = np.ascontiguousarray(eri.transpose(0, 2, 1, 3))
+        if jax.default_backend() in ("tpu", "axon"):
+            # split-f32 MXU Fock path: packed upload (8x smaller through
+            # the tunnel) + one-time device pre-split of the J/K
+            # matricisations; every Fock build is then two native-f32
+            # split GEMVs instead of host BLAS or emulated-f64 einsums
+            fock_consts = _fock_split_consts(ints.eri_on_device())
         else:
-            eri_dev = ints.eri_on_device()  # shared with MP2 — one upload
-            eri_K_dev = _eri_k_layout(eri_dev)
+            # large-n CPU backend: one-time (ik|jl) re-sort so every
+            # Fock build is two host dgemv's
+            eri_K_host = np.ascontiguousarray(eri.transpose(0, 2, 1, 3))
     X = symmetric_orthogonaliser_np(S)
 
     if cfg.scf_read_guess:
@@ -222,7 +247,7 @@ def do_rhf(
 
         energy_old = energy
         D_old = D
-        F = _build_fock(H, eri, D, eri_dev, eri_K_dev, eri_K_host)
+        F = _build_fock(H, eri, D, fock_consts, eri_K_host)
         err = F @ D @ S - S @ D @ F  # DIIS error (hf.f90:212-213)
         extrap = diis.update(F, err)
         if extrap is not None:

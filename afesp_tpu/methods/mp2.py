@@ -42,42 +42,47 @@ def _ao_to_mo_oneshot(eri: jnp.ndarray, C: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("sl,pqrl->pqrs", C, t)
 
 
-@partial(jax.jit, static_argnames=("blk",))
-def _ao_to_mo_chunked(eri: jnp.ndarray, C: jnp.ndarray, *, blk: int) -> jnp.ndarray:
-    """The four quarter transforms with every dot_general's OPERANDS
-    sliced to n^3*blk (two lax.map stages).
+@jax.jit
+def _ao_to_mo_split(eri: jnp.ndarray, C: jnp.ndarray) -> jnp.ndarray:
+    """The four quarter transforms as exact integer-limb int8 MXU GEMMs
+    (ops/exact_gemm) — the large-basis TPU path.
 
-    TPU f64 dot_generals are emulated by decomposing each operand into
-    f32/bf16 limb arrays ~4x the f64 bytes, with remat copies on top: a
-    116-bf one-shot transform compiles to a 24.4 GB program (measured —
-    55% over a v5e's HBM), and any n^4 operand in a dot blows up the
-    same way no matter how the output is blocked.  So:
+    An emulated-f64 transform decomposes each n^4 operand into f32 limb
+    arrays ~8x its f64 bytes (a 116-bf (n^3,n)x(n,n) stage compiles to a
+    22.5 GB program — measured OOM), which round 1 dodged with host BLAS
+    at 243 s of wall.  The naive hi/lo split-f32 alternative carries a
+    ~sqrt(K)*2^-24 noise floor (measured 1.2e-8 Ha on a 25-bf MP2 —
+    outside the contract), so this path uses the Ozaki integer-digit
+    scheme instead: digit products and int32 accumulations are exact,
+    leaving ~2^-49-of-scale residue (f64-grade, validated at 2e-12 Ha in
+    tests/test_split_transform.py).  Each stage contracts the LEADING AO
+    index against C and emits it as the TRAILING MO index, so four
+    stages cycle (i,j,k,l) -> (p,q,r,s) with no final transpose:
 
-      stage A (per l-block):  (ij|k lb) -> (pq|r lb)   [transforms 1-3;
-          l is a free index, so the eri operand slices cleanly]
-      stage B (per p-block):  (pb q|r l) -> (pb q|rs)  [transform 4
-          contracts l, but p is now free so the operand slices]
-
-    Peak HBM: eri + the intermediate + the output (3 x n^4 f64) plus
-    ~4x n^3*blk of emulation temps, instead of ~4 x 4x n^4.
+      stage: out[rest, p] = sum_i T[i, rest] C[p, i]
+             = exact_gemm(T.reshape(n, n^3).T, C.T)
     """
     n = eri.shape[0]
+    from ..ops.exact_gemm import digitize_B, exact_gemm
 
-    def stage_a(l0):
-        e = jax.lax.dynamic_slice_in_dim(eri, l0, blk, axis=3)
-        t = jnp.einsum("pi,ijkl->pjkl", C, e)
-        t = jnp.einsum("qj,pjkl->pqkl", C, t)
-        return jnp.einsum("rk,pqkl->pqrl", C, t)
+    CB = digitize_B(C.T)  # digits + col scales, shared by all stages
 
-    u = jax.lax.map(stage_a, jnp.arange(0, n, blk))  # (nb, n,n,n, blk)
-    u = jnp.moveaxis(u, 0, 3).reshape(n, n, n, n)  # (p,q,r,l)
+    # M-block each stage (lax.map over leading-j groups): the 28 limb
+    # GEMMs otherwise hold ~20 concurrent (n^3, n)-sized temporaries —
+    # 18.5 GB at 116 bf (measured OOM).  f32 digit GEMMs (exact at
+    # K = n <= 512) avoid XLA's u32-widened int8 lowering on skinny K.
+    nb = next(d for d in range(1, n + 1) if n % d == 0 and d >= n**4 / 5e7)
 
-    def stage_b(p0):
-        up = jax.lax.dynamic_slice_in_dim(u, p0, blk, axis=0)
-        return jnp.einsum("sl,pqrl->pqrs", C, up)
+    def stage(T):
+        A = T.reshape(n, n**3).T  # (rest, i)
+        blocks = A.reshape(nb, (n**3) // nb, n)
+        out = jax.lax.map(
+            lambda Ab: exact_gemm(Ab, B_dig=CB, digit_dtype=jnp.float32),
+            blocks,
+        )
+        return out.reshape((n,) * 4)
 
-    out = jax.lax.map(stage_b, jnp.arange(0, n, blk))  # (nb, blk, n,n,n)
-    return out.reshape(n, n, n, n)
+    return stage(stage(stage(stage(eri))))
 
 
 def _ao_to_mo_host(eri: np.ndarray, C: np.ndarray) -> np.ndarray:
@@ -127,16 +132,76 @@ def ao_to_mo(eri: jnp.ndarray, C: jnp.ndarray) -> jnp.ndarray:
 
     Sequenced as four quarter transforms so XLA emits four N^3xN GEMMs
     (mp2.f90:320-386) rather than one N^8 monster.  Above ~60 bf the
-    transform runs operand-blocked (see _ao_to_mo_chunked) so the
-    f64-emulation transients stay bounded.
+    emulated-f64 one-shot program's f32 limb temporaries outgrow HBM
+    (24 GB at 116 bf, measured), so the transform switches to the
+    split-f32 MXU formulation (_ao_to_mo_split).
     """
     n = eri.shape[0]
     if n**4 <= 2e7:  # the committed <=58-bf fixtures: one-shot is fine
         return _ao_to_mo_oneshot(eri, C)
-    # largest divisor of n keeping blk*n^3 operand slices under ~100 MB f64
-    budget = max(1, int(12e6 / n**3))
-    blk = max(d for d in range(1, budget + 1) if n % d == 0)
-    return _ao_to_mo_chunked(eri, C, blk=blk)
+    return _ao_to_mo_split(eri, C)
+
+
+@partial(jax.jit, static_argnames=("nocc_spatial",))
+def mp2_energy_spinorb(
+    eri_mo: jnp.ndarray, levels: jnp.ndarray, *, nocc_spatial: int
+) -> jnp.ndarray:
+    """Spin-orbital MP2: E2 = 1/4 sum |<ij||ab>|^2 / D_ijab.
+
+    Counterpart of do_mp2_spinorb (mp2.f90:82-259) — DEAD CODE upstream
+    (never dispatched from main.F90:47-120; the spin-orbital pipeline
+    calls do_mp2_spatial) but implemented here for inventory parity.
+    Builds only the <ij||ab> slice via the spin-mask einsums
+    (ops/spin.py) instead of the reference's full (2n)^4 antisymmetrised
+    tensor.  Equals the spatial formulation exactly for closed-shell RHF
+    references (asserted in tests/test_mp2.py)."""
+    from ..ops.spin import spinorb_levels, spinorb_slice
+
+    oovv = spinorb_slice(eri_mo, "oovv", nocc_spatial)
+    lv = spinorb_levels(levels, nocc_spatial)
+    nocc = 2 * nocc_spatial
+    e_o, e_v = lv[:nocc], lv[nocc:]
+    D = (
+        e_o[:, None, None, None]
+        + e_o[None, :, None, None]
+        - e_v[None, None, :, None]
+        - e_v[None, None, None, :]
+    )
+    return 0.25 * jnp.sum(oovv * oovv / D)
+
+
+@partial(jax.jit, static_argnames=("nocc",))
+def mp2_energy_naive(
+    eri_ao: jnp.ndarray, C: jnp.ndarray, levels: jnp.ndarray, *, nocc: int
+) -> jnp.ndarray:
+    """Pedagogical MP2 straight from the AO integrals, one formula.
+
+    Counterpart of do_mp2_naive (mp2.f90:9-80) — DEAD CODE upstream, the
+    O(N^8) "transform every (ia|jb) element on demand" teaching version.
+    The TPU-native reading keeps the naive FORMULA (no packed symmetry,
+    no staged transform in user code) and lets the einsum path optimizer
+    schedule it; the pedagogical value was always the formula, not the
+    loop order."""
+    # C rows are MOs (sys%canon_coeff layout): (ia|jb) = C_ip C_aq C_jr C_bs (pq|rs)
+    ov = jnp.einsum(
+        "ip,aq,jr,bs,pqrs->iajb",
+        C[:nocc],
+        C[nocc:],
+        C[:nocc],
+        C[nocc:],
+        eri_ao,
+        optimize=True,
+    )
+    e_o = levels[:nocc]
+    e_v = levels[nocc:]
+    denom = (
+        e_o[:, None, None, None]
+        + e_o[None, None, :, None]
+        - e_v[None, :, None, None]
+        - e_v[None, None, None, :]
+    )
+    exch = jnp.transpose(ov, (0, 3, 2, 1))
+    return jnp.sum(ov * (2.0 * ov - exch) / denom)
 
 
 @partial(jax.jit, static_argnames=("nocc",))
@@ -167,15 +232,19 @@ def do_mp2_spatial(
     rep.section("MP2")
     rep.write(" Performing AO to MO ERI transformation...")
 
-    from .hf import device_is_remote_tunnel
-
     n = sys_.nbasis
-    if n**4 > 2e7 and device_is_remote_tunnel():
-        # large basis behind the slow tunnel: transform on host, ship
-        # the MO tensor once (see _ao_to_mo_host)
+    if n**4 > 2e7 and jax.default_backend() in ("tpu", "axon"):
+        # large basis on TPU: split-f32 MXU transform over the shared
+        # device ERI (uploaded packed, 8x smaller through the tunnel)
+        eri_mo = _ao_to_mo_split(ints.eri_on_device(), jnp.asarray(hf.coeff))
+    elif n**4 > 2e7:
+        # large basis on a CPU backend: host BLAS (see _ao_to_mo_host)
         eri_mo = jnp.asarray(_ao_to_mo_host(ints.eri, hf.coeff))
     else:
         eri_mo = ao_to_mo(ints.eri_on_device(), jnp.asarray(hf.coeff))
+    # nothing downstream reads the AO ERI — free the device copy (1.45 GB
+    # at 116 bf) before the CC stages allocate their slices
+    ints.free_device_eri()
 
     rep.write(" Calculating MP2 energy...")
     nocc = sys_.nel // 2

@@ -22,11 +22,14 @@ Faithfulness notes (quirks reproduced deliberately, see ccsd.f90):
   * make_x_bar uses the paper's Eq. 55 form (ccsd.f90:2313-2318); the
     GAMESS-derived alternative remains commented out upstream.
 
-Deviation (documented): the reference only forms z3_bar when a
-renormalised variant is requested (ccsd.f90:2211-2215), so its *plain*
-CCSD(T)_spatial silently reduces to CCSD[T].  We always form z3_bar when
-the (T) variant is on; for every committed fixture (all CR runs) the two
-behaviours coincide.
+Deviation (documented + switchable): the reference only forms z3_bar
+when a renormalised variant is requested (ccsd.f90:2211-2215), so its
+*plain* CCSD(T)_spatial silently reduces to CCSD[T].  By default we
+always form z3_bar when the (T) variant is on (the correct Piecuch
+Eq. 60 behaviour); `ccsd_t_spatial_bug_compat = .true.` in els.in
+reproduces the reference output exactly (tests/test_triples_spatial.py
+documents both numbers).  For every committed fixture (all CR runs) the
+two behaviours coincide.
 """
 
 from __future__ import annotations
@@ -349,6 +352,7 @@ def do_ccsd_t_spatial(
     levels: np.ndarray,
     rep: Reporter | None = None,
     i_block: int = 0,
+    mesh=None,
 ) -> TriplesResult:
     rep = rep or Reporter()
     rep.section("CCSD(T)")
@@ -388,24 +392,34 @@ def do_ccsd_t_spatial(
         budget = max(1, min(nocc, int(8e9 / (20 * el * nocc * nvirt**3) + 1)))
         jlen = max(d for d in range(1, budget + 1) if nocc % d == 0)
 
-    totals = _triples_total_spatial(
-        t1,
-        t2,
-        v.v_vvov,
-        v.v_oovo,
-        v.v_oovv,
-        e_o,
-        e_v,
-        I_vovv_pp,
-        I_ooov_pp,
-        nocc=nocc,
-        jlen=jlen,
-        doing_T=doing_T,
-        doing_R=doing_R,
-        doing_CR=doing_CR,
-        precision=precision,
-    )
+    targs = (t1, t2, v.v_vvov, v.v_oovo, v.v_oovv, e_o, e_v,
+             I_vovv_pp, I_ooov_pp)
+    if mesh is not None:
+        # multi-chip: the SAME (i, j-slab) slab kernel, shard_map'd over
+        # the mesh with psum (parallel/triples_shard.py)
+        from ..parallel.triples_shard import triples_spatial_sharded
+
+        totals = triples_spatial_sharded(
+            mesh, *targs, nocc=nocc, jlen=jlen,
+            doing_T=doing_T, doing_R=doing_R, doing_CR=doing_CR,
+            precision=precision,
+        )
+    else:
+        totals = _triples_total_spatial(
+            *targs,
+            nocc=nocc,
+            jlen=jlen,
+            doing_T=doing_T,
+            doing_R=doing_R,
+            doing_CR=doing_CR,
+            precision=precision,
+        )
     sums = {k: float(x) for k, x in zip(_SUM_KEYS, totals)}
+    if cfg.ccsd_t_spatial_bug_compat and doing_T and not (doing_R or doing_CR):
+        # reference quirk (ccsd.f90:2211-2215): z3_bar is only formed for
+        # renormalised variants, so upstream's plain CCSD(T)_spatial
+        # equals its CCSD[T]; dropping the z3 contribution reproduces it
+        sums["e_TT"] = sums["e_T"]
 
     e_T, e_TT = sums["e_T"], sums["e_TT"]
     D_T, D_TT = sums["D_T"], sums["D_TT"]

@@ -230,6 +230,7 @@ def do_ccsd_t_spinorb(
     levels: np.ndarray,
     rep: Reporter | None = None,
     precision: str | None = None,
+    mesh=None,
 ) -> float:
     """Returns e_ccsd_t = e_ccsd + E(T) (ccsd.f90:1917).
 
@@ -262,9 +263,18 @@ def do_ccsd_t_spinorb(
     jlen = _pick_jlen(nocc, nvirt, precision)
 
     args = (t1, t2, vovv, ovoo, oovv, e_o, e_v)
-    total = float(
-        _triples_total(*args, nocc=nocc, jlen=jlen, precision=precision)
-    )
+    if mesh is not None:
+        # multi-chip: the SAME (i, j-slab) islice kernel, shard_map'd
+        # over the mesh with psum (parallel/triples_shard.py)
+        from ..parallel.triples_shard import triples_total_sharded
+
+        total = triples_total_sharded(
+            mesh, *args, nocc=nocc, jlen=jlen, precision=precision
+        )
+    else:
+        total = float(
+            _triples_total(*args, nocc=nocc, jlen=jlen, precision=precision)
+        )
 
     e_ccsd_t = total + cc.e_ccsd
     rep.write(

@@ -1,0 +1,141 @@
+"""f64-grade GEMM on the int8 MXU path (Ozaki-scheme integer limbs).
+
+TPU MXUs have no f64 unit, and XLA's f64 emulation decomposes each
+operand into f32 limb arrays ~8x the f64 bytes (measured: a 116-bf
+(n^3, n) @ (n, n) quarter transform compiles to a 22.5 GB program — it
+cannot even fit).  The naive hi/lo split-f32 alternative (split_gemm)
+runs at native f32 speed but carries an irreducible ~sqrt(K)*2^-24
+relative-to-term noise floor from f32 multiply/accumulate rounding —
+measured 1.2e-8 Ha on a 25-bf MP2 energy, outside the 1e-8 contract.
+
+This module implements the accurate-AND-fast scheme (Ozaki et al.,
+"error-free transformation" matmul family): operands are scaled by
+power-of-two row/column scales into [-1/2, 1/2], expanded in base-128
+integer digits, and every digit-pair product runs as an int8 x int8 ->
+int32 MXU GEMM.  Digit products (<= 2^14) and int32 accumulations
+(K <= 2^17) are EXACT; the only error is the dropped high-degree digit
+pairs and the final f64 recombination — ~2^-49 of the row/col scale,
+i.e. genuinely f64-grade, at int8-MXU throughput (measured 76+ TOPS on
+one v5e through the axon tunnel).
+
+Cost: npairs = maxdeg*(maxdeg-1)/2 int8 GEMMs (28 at the default
+maxdeg=8) — each ~4x cheaper than an f32 GEMM pass on v5e hardware.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# base-2^7 digits: |digit| <= 64 fits int8, digit products <= 2^14, and
+# int32 accumulation over K products stays exact while K*2^14 < 2^31
+_Q = 7
+_BASE = float(2**_Q)
+_MAX_K = 2**31 // (2 ** (2 * _Q + 2))  # 131072, with 2 bits of slack
+
+
+def _pow2_scale(x, axis):
+    """Per-row/col power-of-two scale s >= max|x| (exact divides)."""
+    m = jnp.max(jnp.abs(x), axis=axis, keepdims=True)
+    e = jnp.ceil(jnp.log2(jnp.where(m > 0, m, 1.0)))
+    return jnp.exp2(e)
+
+
+def _digits(x, L: int):
+    """x in [-1/2, 1/2] -> L base-128 int8 digit arrays (balanced round:
+    digits in [-64, 64], residual after L digits <= 2^(-7L-1))."""
+    ds = []
+    y = x
+    for _ in range(L):
+        y = y * _BASE
+        d = jnp.round(y)
+        y = y - d
+        ds.append(d.astype(jnp.int8))
+    return ds
+
+
+def digitize_A(A, L: int = 7):
+    """(M,K) f64 -> (digit list, row scale (M,1)) for exact_gemm."""
+    s = _pow2_scale(A, axis=1)
+    return _digits(A / (2.0 * s), L), s
+
+
+def digitize_B(B, L: int = 7):
+    """(K,N) f64 -> (digit list, col scale (1,N)) for exact_gemm."""
+    s = _pow2_scale(B, axis=0)
+    return _digits(B / (2.0 * s), L), s
+
+
+# f32 digit GEMMs accumulate exactly while kc * 2^(2Q) < 2^24; larger K
+# is chunked to kc with f64 combination across chunks (still exact)
+_MAX_K_F32 = 2**24 // (2 ** (2 * _Q + 1))  # 512, with 1 bit of slack
+
+
+def exact_gemm(A=None, B=None, *, A_dig=None, B_dig=None, L: int = 7,
+               maxdeg: int = 8, digit_dtype=jnp.float32):
+    """(M,K) @ (K,N) f64 to ~2^-49 of the row x col scale.
+
+    A_dig/B_dig take pre-digitized (digits, scale) pairs for operands
+    that are loop constants (e.g. the Fock build's ERI matricisations:
+    7 int8 limbs cost 7 bytes/element vs 8 for the f64 original).
+    maxdeg keeps digit pairs with (i+1)+(j+1) <= maxdeg; 8 -> 28 GEMMs,
+    residual ~K * 2^-49 * scale worst-case, ~sqrt(K) * 2^-52 random.
+
+    digit_dtype picks the MXU pipe.  float32 (default): integer-valued
+    f32 digit GEMMs, exact per kc=512 chunk (products <= 2^14, chunk
+    sums < 2^24) with exact f64 combination across chunks — measured
+    1.3 s for the full 116-bf AO->MO transform.  int8: s32-accumulated
+    int8 MXU GEMMs, no chunking (exact for K <= 131072) — compiles and
+    validates, but XLA's int8 lowering widens operands to u32 copies at
+    runtime (measured seconds per 13k x 13k GEMV — avoid until the
+    int8 path lowers natively).
+    """
+    Ad, sA = A_dig if A_dig is not None else digitize_A(A, L)
+    Bd, sB = B_dig if B_dig is not None else digitize_B(B, L)
+    K = Ad[0].shape[1]
+    assert K == Bd[0].shape[0]
+    if digit_dtype == jnp.int8:
+        assert K <= _MAX_K, (
+            f"contraction dim {K} exceeds exact-int32 accumulation bound {_MAX_K}"
+        )
+        dn = (((1,), (0,)), ((), ()))
+        acc = None
+        for i in range(len(Ad)):
+            for j in range(len(Bd)):
+                if i + j + 2 > maxdeg:
+                    continue
+                P = jax.lax.dot_general(
+                    Ad[i], Bd[j], dn, preferred_element_type=jnp.int32
+                )
+                term = P.astype(jnp.float64) * (2.0 ** (-_Q * (i + j + 2)))
+                acc = term if acc is None else acc + term
+        return acc * (4.0 * sA * sB)
+
+    # f32 digit path, kc-chunked for exact accumulation at any K
+    M = Ad[0].shape[0]
+    N = Bd[0].shape[1]
+    kc = min(K, _MAX_K_F32)
+    nc = -(-K // kc)
+    pad = nc * kc - K
+
+    def chunk_a(a):
+        if pad:
+            a = jnp.pad(a, ((0, 0), (0, pad)))
+        return a.reshape(M, nc, kc).transpose(1, 0, 2).astype(jnp.float32)
+
+    def chunk_b(b):
+        if pad:
+            b = jnp.pad(b, ((0, pad), (0, 0)))
+        return b.reshape(nc, kc, N).astype(jnp.float32)
+
+    Bc = [chunk_b(b) for b in Bd]
+    acc = None
+    for i in range(len(Ad)):
+        ai = chunk_a(Ad[i])
+        for j in range(len(Bd)):
+            if i + j + 2 > maxdeg:
+                continue
+            P = jnp.einsum("cmk,ckn->cmn", ai, Bc[j])  # exact per chunk
+            term = P.astype(jnp.float64).sum(0) * (2.0 ** (-_Q * (i + j + 2)))
+            acc = term if acc is None else acc + term
+    return acc * (4.0 * sA * sB)

@@ -1,12 +1,18 @@
-"""Multi-chip CCSD iteration via GSPMD sharding.
+"""Multi-chip CCSD via GSPMD sharding of the production fused solve.
 
 The CCSD amplitude update is one big einsum program; the scalable axis is
 the virtual index (the O(o^2 v^4) tau*W_vvvv contraction dominates).  We
-annotate t2 / the v-heavy slices with a NamedSharding over the last
-virtual axis and let XLA insert the ICI collectives — the TPU-native
-replacement for the reference's threaded-BLAS parallelism
-(SURVEY.md section 2, components 5-7; there is no distributed path
-upstream to mirror).
+annotate t2 / the v-heavy ERI slices with a NamedSharding over a virtual
+axis and run the UNMODIFIED production solver (ops/cc_step.make_cc_solver
+— the whole lax.while_loop fixed point with on-device DIIS) on the
+sharded operands: XLA/GSPMD propagates the shardings through the loop
+body and inserts the ICI collectives.  This is the TPU-native replacement
+for the reference's threaded-BLAS parallelism (SURVEY.md §2, components
+5-7; there is no distributed path upstream to mirror).
+
+The DIIS ring buffers hold flattened amplitude vectors; they stay
+replicated (GSPMD gathers the sharded amplitudes at the ravel) — the
+contraction work, which is all of the FLOPs, is what shards.
 """
 
 from __future__ import annotations
@@ -14,35 +20,104 @@ from __future__ import annotations
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..methods.ccsd_spatial import Slices
 from ..methods.ccsd_spinorb import SpinSlices, ccsd_spinorb_iteration
+from ..ops.cc_step import CCState
+
+# per-slice axis (in the slice's own rank) carrying a virtual index to
+# shard; None = replicated (occupied-only slices are tiny)
+_SPINORB_AXES = SpinSlices(
+    oooo=None, ooov=3, ovoo=1, oovo=2, oovv=3, ovvo=2, ovvv=3, vovv=3, vvvv=3
+)
+_SPATIAL_AXES = Slices(
+    v_oovv=3, v_ovov=3, v_vvov=3, v_oovo=2, v_oooo=None, v_vvvv=3
+)
 
 
-def shard_ccsd_inputs(mesh: Mesh, t1, t2, v: SpinSlices, D_ia, D_ijab):
-    """Place the CCSD operands with virtual-axis shardings."""
-    axis = mesh.axis_names[0]
+def _on_axis(mesh: Mesh, pos: int, nd: int = 4) -> NamedSharding:
+    spec = [None] * nd
+    spec[pos] = mesh.axis_names[0]
+    return NamedSharding(mesh, P(*spec))
 
-    def on_axis(pos: int, nd: int = 4) -> NamedSharding:
-        spec = [None] * nd
-        spec[pos] = axis
-        return NamedSharding(mesh, P(*spec))
 
-    # shard each tensor over its *last virtual* axis (occupied axes are
-    # tiny and stay replicated)
-    blocks = SpinSlices(
-        oooo=None, ooov=3, ovoo=1, oovo=2, oovv=3, ovvo=2, ovvv=3, vovv=3, vvvv=3
-    )
+def shard_ccsd_inputs(mesh: Mesh, t1, t2, v, D_ia, D_ijab):
+    """Place the CCSD operands with last-virtual-axis shardings.  Accepts
+    either SpinSlices or (spatial) Slices."""
+    axes = _SPINORB_AXES if isinstance(v, SpinSlices) else _SPATIAL_AXES
     repl = NamedSharding(mesh, P())
-    t1 = jax.device_put(t1, on_axis(1, 2))
-    t2 = jax.device_put(t2, on_axis(3, 4))
-    v = SpinSlices(
+    t1 = jax.device_put(t1, _on_axis(mesh, 1, 2))
+    t2 = jax.device_put(t2, _on_axis(mesh, 3, 4))
+    v = type(v)(
         *(
-            jax.device_put(x, repl if pos is None else on_axis(pos))
-            for x, pos in zip(v, blocks)
+            jax.device_put(x, repl if pos is None else _on_axis(mesh, pos))
+            for x, pos in zip(v, axes)
         )
     )
-    D_ia = jax.device_put(D_ia, on_axis(1, 2))
-    D_ijab = jax.device_put(D_ijab, on_axis(3, 4))
+    D_ia = jax.device_put(D_ia, _on_axis(mesh, 1, 2))
+    D_ijab = jax.device_put(D_ijab, _on_axis(mesh, 3, 4))
     return t1, t2, v, D_ia, D_ijab
+
+
+def shard_cc_state(mesh: Mesh, state: CCState) -> CCState:
+    """Shard the while_loop carry: amplitude fields on the virtual axis,
+    DIIS ring buffers and counters replicated."""
+    s1 = _on_axis(mesh, 1, 2)
+    s2 = _on_axis(mesh, 3, 4)
+    repl = NamedSharding(mesh, P())
+    put = jax.device_put
+    return CCState(
+        t1=put(state.t1, s1),
+        t2=put(state.t2, s2),
+        t1_raw=put(state.t1_raw, s1),
+        t2_raw=put(state.t2_raw, s2),
+        t1_in=put(state.t1_in, s1),
+        t2_in=put(state.t2_in, s2),
+        t2_old=put(state.t2_old, s2),
+        diis_T=put(state.diis_T, repl),
+        diis_E=put(state.diis_E, repl),
+        slot=put(state.slot, repl),
+        n_active=put(state.n_active, repl),
+    )
+
+
+def _fitting_mesh(mesh: Mesh, nvirt: int) -> Mesh | None:
+    """device_put rejects uneven shardings, so the solve uses the
+    largest leading sub-mesh whose size divides the virtual dimension
+    (e.g. 7 of 8 devices for N2's nvirt=21).  None = don't shard."""
+    size = mesh.devices.size
+    d = max(k for k in range(1, size + 1) if nvirt % k == 0)
+    if d < 2:
+        return None
+    if d == size:
+        return mesh
+    return Mesh(mesh.devices.ravel()[:d], mesh.axis_names)
+
+
+def ccsd_solve_sharded(
+    mesh: Mesh, solver, state: CCState, v, D_ia, D_ijab, oovv,
+    e0, e_tol, t_tol, *, nerr: int, maxiter: int
+):
+    """Run the PRODUCTION fused CC solve (while_loop + DIIS, one program)
+    under GSPMD virtual-axis sharding.  `solver` is the memoized wrapper
+    from get_spinorb_solver / get_spatial_solver; `oovv` is the energy
+    slice (v.oovv spin-orbital, v.v_oovv spatial).  Returns the solver's
+    (state, n_iter, converged, hist_e, hist_rms) with sharded amplitudes.
+    """
+    mesh = _fitting_mesh(mesh, state.t2.shape[3])
+    if mesh is None:
+        return solver(
+            state, v, D_ia, D_ijab, oovv, e0, e_tol, t_tol,
+            nerr=nerr, maxiter=maxiter,
+        )
+    t1, t2, v, D_ia, D_ijab = shard_ccsd_inputs(
+        mesh, state.t1, state.t2, v, D_ia, D_ijab
+    )
+    state = shard_cc_state(mesh, state._replace(t1=t1, t2=t2))
+    oovv = jax.device_put(oovv, _on_axis(mesh, 3, 4))
+    return solver(
+        state, v, D_ia, D_ijab, oovv, e0, e_tol, t_tol,
+        nerr=nerr, maxiter=maxiter,
+    )
 
 
 def ccsd_iteration_sharded(mesh: Mesh, t1, t2, v: SpinSlices, D_ia, D_ijab):

@@ -1,12 +1,20 @@
-"""Multi-chip CCSD(T): shard the (i,j,k) triples grid over the ICI mesh.
+"""Multi-chip CCSD(T): shard the (i, j-slab) triples grid over the ICI
+mesh.
 
 Replaces the reference's OpenACC offload of do_ccsd_t_spinorb_acc
 (ccsd.f90:1924-2016), which is single-GPU.  Each device receives an
-equal slab of the o^3 triples (padded with zero-weight entries), computes
-its per-triple energies with the same kernel as the single-chip path
-(methods/triples_spinorb.triples_chunk_energies), and the scalar is
-psum-reduced over the mesh.  Amplitudes and ERI slices are replicated —
-at this problem scale they are tiny next to the o^3 v^3 work.
+equal share of the PRODUCTION (i, j-slab) islice grid — the exact same
+`_islice_energy` / `_islice_terms` slab kernels the single-chip fused
+loops run (methods/triples_spinorb.py, methods/triples_spatial.py),
+including the hybrid-f32 and Pallas-finale variants — runs its slabs in
+a local fori_loop, and psum-reduces the energies over the mesh.
+Amplitudes and ERI slices are replicated: at this problem scale they are
+tiny next to the o^3 v^3 work, and the slab grid is embarrassingly
+parallel.
+
+`triples_chunk_energies`-based sharding (per-(i,j,k) gather batches) is
+kept only as the fallback for grids too small to fill a mesh with whole
+slabs.
 """
 
 from __future__ import annotations
@@ -23,7 +31,156 @@ try:
 except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
 
-from ..methods.triples_spinorb import triples_chunk_energies
+from ..methods.triples_spinorb import _islice_energy, triples_chunk_energies
+
+
+def _padded_grid(total: int, ndev: int):
+    """Pad a linear work-grid to a multiple of ndev; returns (idx, w)
+    where w masks the padding entries to zero weight."""
+    per = -(-total // ndev)
+    idx = np.arange(per * ndev, dtype=np.int32)
+    w = (idx < total).astype(np.float64)
+    return np.where(idx < total, idx, 0).astype(np.int32), w
+
+
+def triples_total_sharded(
+    mesh: Mesh,
+    t1,
+    t2,
+    vovv,
+    ovoo,
+    oovv,
+    e_o,
+    e_v,
+    *,
+    nocc: int,
+    jlen: int,
+    precision: str = "hybrid",
+) -> float:
+    """Spin-orbital E(T) over the PRODUCTION (i, j-slab) islice grid,
+    sharded over the mesh axis — the multi-chip form of
+    triples_spinorb._triples_total (same kernel, same precision modes,
+    psum instead of a single-device fori_loop accumulator)."""
+    axis = mesh.axis_names[0]
+    ndev = mesh.devices.size
+    assert nocc % jlen == 0
+    nslab = nocc // jlen
+    idx, w = _padded_grid(nocc * nslab, ndev)
+    # inputs may arrive sharded over a different (sub-)mesh — e.g. the
+    # CC solve's divisor-fitted mesh; replicate them onto this one
+    from jax.sharding import NamedSharding
+
+    repl = NamedSharding(mesh, P())
+    t1, t2, vovv, ovoo, oovv, e_o, e_v = (
+        jax.device_put(x, repl) for x in (t1, t2, vovv, ovoo, oovv, e_o, e_v)
+    )
+
+    @jax.jit
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)) + (P(),) * 7,
+        out_specs=P(),
+    )
+    def worker(idx_l, w_l, t1, t2, vovv, ovoo, oovv, e_o, e_v):
+        args = (t1, t2, vovv, ovoo, oovv, e_o, e_v)
+
+        def body(k, acc):
+            ind = idx_l[k]
+            i0 = ind // nslab
+            j0 = (ind % nslab) * jlen
+            e = _islice_energy(
+                i0, j0, *args, jlen=jlen, precision=precision
+            )
+            return acc + w_l[k] * e
+
+        # the carry must be device-varying under shard_map's manual-axes
+        # typing (each shard accumulates its own partial)
+        acc0 = jax.lax.pvary(jnp.float64(0.0), (axis,))
+        acc = jax.lax.fori_loop(0, idx_l.shape[0], body, acc0)
+        return jax.lax.psum(acc, axis)
+
+    return float(
+        worker(
+            jnp.asarray(idx), jnp.asarray(w),
+            t1, t2, vovv, ovoo, oovv, e_o, e_v,
+        )
+    )
+
+
+def triples_spatial_sharded(
+    mesh: Mesh,
+    t1,
+    t2,
+    v_vvov,
+    v_oovo,
+    v_oovv,
+    e_o,
+    e_v,
+    I_vovv_pp,
+    I_ooov_pp,
+    *,
+    nocc: int,
+    jlen: int,
+    doing_T: bool,
+    doing_R: bool,
+    doing_CR: bool,
+    precision: str = "f64",
+):
+    """The spatial six-sum triples reductions (CCSD[T]/(T)/R/CR family)
+    over the production (i, j-slab) grid, sharded over the mesh — the
+    multi-chip form of triples_spatial._triples_total_spatial.  Returns
+    the same tuple of six psum-reduced totals (ordered as _SUM_KEYS)."""
+    from ..methods.triples_spatial import _SUM_KEYS, _islice_terms
+
+    axis = mesh.axis_names[0]
+    ndev = mesh.devices.size
+    assert nocc % jlen == 0
+    nslab = nocc // jlen
+    idx, w = _padded_grid(nocc * nslab, ndev)
+    from jax.sharding import NamedSharding
+
+    repl = NamedSharding(mesh, P())
+    (t1, t2, v_vvov, v_oovo, v_oovv, e_o, e_v, I_vovv_pp, I_ooov_pp) = (
+        jax.device_put(x, repl)
+        for x in (t1, t2, v_vvov, v_oovo, v_oovv, e_o, e_v,
+                  I_vovv_pp, I_ooov_pp)
+    )
+
+    @jax.jit
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)) + (P(),) * 9,
+        out_specs=tuple(P() for _ in _SUM_KEYS),
+    )
+    def worker(idx_l, w_l, t1, t2, vv, vo, voovv, e_o, e_v, Iv, Jo):
+        args = (t1, t2, vv, vo, voovv, e_o, e_v, Iv, Jo)
+
+        def body(k, sums):
+            ind = idx_l[k]
+            i0 = ind // nslab
+            j0 = (ind % nslab) * jlen
+            acc = _islice_terms(
+                i0, j0, *args, jlen=jlen,
+                doing_T=doing_T, doing_R=doing_R, doing_CR=doing_CR,
+                precision=precision,
+            )
+            return tuple(
+                s + w_l[k] * acc.get(key, jnp.float64(0.0))
+                for s, key in zip(sums, _SUM_KEYS)
+            )
+
+        init = tuple(
+            jax.lax.pvary(jnp.float64(0.0), (axis,)) for _ in _SUM_KEYS
+        )
+        sums = jax.lax.fori_loop(0, idx_l.shape[0], body, init)
+        return tuple(jax.lax.psum(s, axis) for s in sums)
+
+    return worker(
+        jnp.asarray(idx), jnp.asarray(w),
+        t1, t2, v_vvov, v_oovo, v_oovv, e_o, e_v, I_vovv_pp, I_ooov_pp,
+    )
 
 
 def triples_energy_sharded(

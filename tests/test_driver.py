@@ -105,3 +105,24 @@ def test_driver_dispatch_short_pipelines(sample_data, tmp_path, calc, needles):
         assert "MP2" not in block and "CCSD" not in block
     if calc == "MP2_spatial":
         assert "CCSD" not in block
+
+
+def test_mp2_spinorb_calc_type_dispatch(sample_data, tmp_path):
+    """MP2_spinorb end-to-end: the reference dispatches the spin-orbital
+    MP2 calc type to do_mp2_spatial (main.F90:50-87) — same here, so the
+    printed MP2 energy must equal the MP2_spatial run's."""
+    import shutil
+
+    from afesp_tpu.config import parse_els_in
+    from afesp_tpu.driver import run_calculation
+
+    d = sample_data / "h2o-cc-pvdz/1.80_104.45"
+    for f in ("s.dat", "t.dat", "v.dat", "geom.dat", "eri.dat"):
+        shutil.copy(d / f, tmp_path / f)
+    results = {}
+    for ct in ("MP2_spinorb", "MP2_spatial"):
+        cfg = parse_els_in(f'&elsinput\ncalc_type="{ct}"\n/')
+        res = run_calculation(tmp_path, Reporter(stream=io.StringIO()), cfg)
+        results[ct] = res.e_mp2
+    assert results["MP2_spinorb"] == results["MP2_spatial"]
+    assert abs(results["MP2_spatial"] - -0.2885875159) < 1e-8

@@ -5,7 +5,12 @@ gate in do_rhf switches between them, so they must be interchangeable)."""
 import numpy as np
 import jax.numpy as jnp
 
-from afesp_tpu.methods.hf import _TPU_FOCK_NBASIS, _build_fock, fock_build_jax
+from afesp_tpu.methods.hf import (
+    _TPU_FOCK_NBASIS,
+    _build_fock,
+    _fock_split_consts,
+    fock_build_jax,
+)
 
 
 def _random_scf_state(n, seed=0):
@@ -36,7 +41,7 @@ def test_fock_paths_agree_at_threshold_boundary():
         # threshold is large — the gate logic, not the size, is under test
         n_eff = min(n, 24)
         H, eri, D = _random_scf_state(n_eff, seed=n)
-        eri_dev = jnp.asarray(eri)
+        consts = _fock_split_consts(jnp.asarray(eri))
         F_host = _build_fock(H, eri, D, None)
-        F_dev = _build_fock(H, eri, D, eri_dev)
+        F_dev = _build_fock(H, eri, D, consts)
         np.testing.assert_allclose(F_dev, F_host, rtol=0, atol=1e-12)

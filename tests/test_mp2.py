@@ -64,3 +64,43 @@ def test_fcidump(sample_data, tmp_path):
     p, q, r, s, v = lines[0].split()
     assert (int(p), int(q), int(r), int(s)) == (1, 1, 1, 1)
     assert abs(float(v)) > 1e-7
+
+
+def test_mp2_spinorb_formulation_equals_spatial(sample_data, tmp_path):
+    """do_mp2_spinorb counterpart (mp2.f90:82-259, dead upstream): the
+    spin-orbital 1/4 sum |<ij||ab>|^2/D equals the spatial closed-shell
+    formulation exactly."""
+    import jax.numpy as jnp
+
+    from afesp_tpu.methods.mp2 import mp2_energy_spinorb
+
+    sys_, ints, cfg, hf, mp2 = _run_hf_mp2(
+        sample_data, tmp_path, "h2o-cc-pvdz/1.80_104.45"
+    )
+    e_so = float(
+        mp2_energy_spinorb(
+            mp2.eri_mo, jnp.asarray(hf.levels), nocc_spatial=sys_.nel // 2
+        )
+    )
+    assert abs(e_so - mp2.e_mp2) < 1e-10
+
+
+def test_mp2_naive_formulation_matches(sample_data, tmp_path):
+    """do_mp2_naive counterpart (mp2.f90:9-80, dead upstream): straight
+    from the AO integrals, no staged transform in user code."""
+    import jax.numpy as jnp
+
+    from afesp_tpu.methods.mp2 import mp2_energy_naive
+
+    sys_, ints, cfg, hf, mp2 = _run_hf_mp2(
+        sample_data, tmp_path, "h2o-cc-pvdz/1.80_104.45"
+    )
+    e_naive = float(
+        mp2_energy_naive(
+            jnp.asarray(ints.eri),
+            jnp.asarray(hf.coeff),
+            jnp.asarray(hf.levels),
+            nocc=sys_.nel // 2,
+        )
+    )
+    assert abs(e_naive - mp2.e_mp2) < 1e-9

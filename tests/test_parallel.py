@@ -109,3 +109,85 @@ def test_sharded_triples_matches_single(sample_data, tmp_path):
         inner_chunk=25,
     )
     assert abs(e_sharded - e_single) < 1e-12
+
+    # and the PRODUCTION (i, j-slab) islice path, sharded
+    from afesp_tpu.methods.triples_spinorb import _triples_total
+    from afesp_tpu.parallel.triples_shard import triples_total_sharded
+
+    args = (t1, t2, slices.vovv, slices.ovoo, slices.oovv, e_o, e_v)
+    e_prod = float(_triples_total(*args, nocc=nocc, jlen=5, precision="f64"))
+    e_prod_sh = triples_total_sharded(
+        mesh, *args, nocc=nocc, jlen=5, precision="f64"
+    )
+    assert abs(e_prod - e_single) < 1e-10
+    assert abs(e_prod_sh - e_prod) < 1e-12
+
+
+def test_sharded_fused_solve_matches_unsharded():
+    """The PRODUCTION whole-solve (lax.while_loop + on-device DIIS) under
+    GSPMD virtual-axis sharding: same iteration count, same energy
+    trajectory to f64 roundoff as the single-device solve."""
+    import jax.numpy as jnp
+
+    from afesp_tpu.methods.ccsd_spinorb import get_spinorb_solver
+    from afesp_tpu.ops.cc_step import init_cc_state
+    from afesp_tpu.parallel.ccsd_shard import ccsd_solve_sharded
+
+    t1, t2, slices, D_ia, D_ijab = _random_spin_problem(no=4, nv=16)
+    solver = get_spinorb_solver()
+    nerr, maxiter = 6, 25
+    state0 = init_cc_state(jnp.zeros_like(t1), t2, nerr)
+    e0 = jnp.float64(0.0)
+    tols = (jnp.float64(1e-10), jnp.float64(1e-10))
+
+    st_ref, n_ref, done_ref, he_ref, hr_ref = solver(
+        state0, slices, D_ia, D_ijab, slices.oovv, e0, *tols,
+        nerr=nerr, maxiter=maxiter,
+    )
+    mesh = default_mesh(8)
+    st_sh, n_sh, done_sh, he_sh, hr_sh = ccsd_solve_sharded(
+        mesh, solver, state0, slices, D_ia, D_ijab, slices.oovv, e0, *tols,
+        nerr=nerr, maxiter=maxiter,
+    )
+    assert int(n_sh) == int(n_ref) and bool(done_sh) == bool(done_ref)
+    np.testing.assert_allclose(
+        np.asarray(he_sh), np.asarray(he_ref), rtol=0, atol=1e-11
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_sh.t2_raw), np.asarray(st_ref.t2_raw), rtol=0, atol=1e-11
+    )
+
+
+def test_full_pipeline_multidevice_golden_n2(sample_data, tmp_path):
+    """VERDICT r1 item 3(d): the complete user-facing pipeline (els.in
+    knob mesh_devices=8) through the SHARDED solve + sharded spatial
+    triples on the virtual CPU mesh, gated against the committed
+    els_energy.dat goldens at 1e-8."""
+    import shutil
+
+    from afesp_tpu.config import read_els_in
+    from afesp_tpu.driver import run_calculation
+    from afesp_tpu.io.report import Reporter
+    import io
+
+    d = sample_data / "n2-cc-pvdz/2.00_0.00"
+    for f in ("s.dat", "t.dat", "v.dat", "geom.dat", "eri.dat", "guess_in.dat"):
+        shutil.copy(d / f, tmp_path / f)
+    cfg = read_els_in(d)
+    cfg.scf_write_guess = False
+    cfg.mesh_devices = 8
+    res = run_calculation(tmp_path, Reporter(stream=io.StringIO()), cfg)
+
+    e0 = res.e_hf + res.e_nuc
+    tr = res.triples
+    # els_energy.dat: all six variants + denominators
+    assert abs(e0 - -108.3305827541) < 1e-8
+    assert abs(res.e_ccsd + e0 - -108.9119092359) < 1e-8
+    assert abs(tr.e_ccsd_t + e0 - -109.0299402389) < 1e-8
+    assert abs(tr.e_ccsd_tt + e0 - -109.0154101572) < 1e-8
+    assert abs(tr.e_rccsd_t + e0 - -108.9735444691) < 1e-8
+    assert abs(tr.e_rccsd_tt + e0 - -108.9658259622) < 1e-8
+    assert abs(tr.e_crccsd_t + e0 - -108.9593328220) < 1e-8
+    assert abs(tr.e_crccsd_tt + e0 - -108.9543970939) < 1e-8
+    assert abs(tr.D_T - 1.9149923969) < 1e-7
+    assert abs(tr.D_TT - 1.9196440233) < 1e-7

@@ -1,0 +1,106 @@
+"""Split-f32 MXU paths for the large-basis HF Fock build and AO->MO
+transform (VERDICT r1 item 1), plus the packed-ERI device transfer
+format: precision vs the all-f64 formulations, exactness of pack/unpack.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from afesp_tpu.methods.hf import _fock_build_split, _fock_split_consts
+from afesp_tpu.methods.mp2 import _ao_to_mo_oneshot, _ao_to_mo_split, mp2_energy
+from afesp_tpu.ops.packed_eri import pack_eri, unpack_eri
+
+
+def _symmetric_eri(n: int, seed: int = 0) -> np.ndarray:
+    """Random tensor with the full 8-fold permutational ERI symmetry."""
+    rng = np.random.default_rng(seed)
+    e = rng.standard_normal((n, n, n, n))
+    e = e + e.transpose(1, 0, 2, 3)
+    e = e + e.transpose(0, 1, 3, 2)
+    e = e + e.transpose(2, 3, 0, 1)
+    return e / 8.0
+
+
+def test_pack_unpack_roundtrip_exact():
+    n = 11
+    dense = _symmetric_eri(n)
+    packed = pack_eri(dense)
+    npair = n * (n + 1) // 2
+    assert packed.shape == (npair * (npair + 1) // 2,)
+    back = np.asarray(unpack_eri(jnp.asarray(packed), n=n))
+    # pure gathers of identical values: bitwise equality, not tolerance
+    assert np.array_equal(back, dense)
+
+
+def test_ao_to_mo_split_matches_f64():
+    # integer-limb exact GEMM: error is ~2^-49 of the row/col scale per
+    # stage (digit products and int32 accumulations are exact), i.e.
+    # f64-grade even on adversarial dense random data
+    n = 18
+    eri = _symmetric_eri(n, seed=1)
+    rng = np.random.default_rng(2)
+    C = rng.standard_normal((n, n)) / np.sqrt(n)
+    ref = np.asarray(_ao_to_mo_oneshot(jnp.asarray(eri), jnp.asarray(C)))
+    out = np.asarray(_ao_to_mo_split(jnp.asarray(eri), jnp.asarray(C)))
+    scale = np.abs(ref).max()
+    assert np.abs(out - ref).max() < 1e-12 * max(scale, 1.0)
+
+
+def test_ao_to_mo_split_mp2_energy_real_fixture():
+    """End-to-end on real integrals (h2o/cc-pVDZ, 25 bf): the MP2
+    correlation energy from the exact-GEMM transform must sit far inside
+    the 1e-8 Ha contract of the all-f64 transform."""
+    from pathlib import Path
+
+    from afesp_tpu.config import parse_els_in
+    from afesp_tpu.io import dat
+    from afesp_tpu.methods.hf import do_rhf
+
+    fixture = Path("/root/reference/sample_data/h2o-cc-pvdz/1.80_104.45")
+    if not (fixture / "eri.dat").exists():
+        pytest.skip("reference fixture unavailable")
+    cfg = parse_els_in('&elsinput\ncalc_type="MP2_spatial"\n/')
+    sys_, ints = dat.read_integrals(fixture, restricted=True)
+    hf = do_rhf(sys_, ints, cfg)
+    C = jnp.asarray(hf.coeff)
+    lv = jnp.asarray(hf.levels)
+    eri = jnp.asarray(ints.eri)
+    nocc = sys_.nel // 2
+    e_ref = float(mp2_energy(_ao_to_mo_oneshot(eri, C), lv, nocc=nocc))
+    e_out = float(mp2_energy(_ao_to_mo_split(eri, C), lv, nocc=nocc))
+    assert abs(e_ref - e_out) < 1e-11
+
+
+def test_fock_build_split_matches_f64():
+    n = 16
+    eri = _symmetric_eri(n, seed=3)
+    rng = np.random.default_rng(4)
+    H = rng.standard_normal((n, n))
+    H = H + H.T
+    C = rng.standard_normal((n // 2, n))
+    D = C.T @ C
+    J = np.einsum("ijkl,kl->ij", eri, D)
+    K = np.einsum("ikjl,kl->ij", eri, D)
+    ref = H + 2.0 * J - K
+    consts = _fock_split_consts(jnp.asarray(eri))
+    out = np.asarray(_fock_build_split(jnp.asarray(H), jnp.asarray(D), consts))
+    assert np.abs(out - ref).max() < 1e-12 * max(np.abs(ref).max(), 1.0)
+
+
+def test_pack_from_table_matches_dense_pack():
+    """The table->packed fast path (io/dat.pack_from_table) must agree
+    bitwise with packing the scattered dense tensor."""
+    from pathlib import Path
+
+    from afesp_tpu.io import dat
+
+    fixture = Path("/root/reference/sample_data/h2o-cc-pvdz/1.80_104.45")
+    if not (fixture / "eri.dat").exists():
+        pytest.skip("reference fixture unavailable")
+    sys_, ints = dat.read_integrals(fixture, restricted=True)
+    assert np.array_equal(ints.eri_packed, pack_eri(ints.eri))
+    back = np.asarray(
+        unpack_eri(jnp.asarray(ints.eri_packed), n=sys_.nbasis)
+    )
+    assert np.array_equal(back, ints.eri)

@@ -64,3 +64,34 @@ def test_triples_spatial_hybrid_matches_f64(sample_data, tmp_path):
         assert abs(getattr(trh, k) - getattr(tr64, k)) < 1e-8, k
     assert abs(trh.D_T - tr64.D_T) < 1e-6
     assert abs(trh.D_TT - tr64.D_TT) < 1e-6
+
+
+def test_plain_paren_t_bug_compat_flag(sample_data, tmp_path):
+    """Plain CCSD(T)_spatial bit-parity documentation (VERDICT r1 item
+    8): the reference only forms z3_bar for renormalised variants
+    (ccsd.f90:2211-2215), so ITS plain CCSD(T) output equals CCSD[T].
+    Default mode computes the correct Piecuch (T); the bug-compat flag
+    reproduces the reference.  Both numbers recorded here on N2."""
+    from test_ccsd_spatial import run_pipeline
+
+    from afesp_tpu.methods.triples_spatial import do_ccsd_t_spatial
+
+    sys_, ints, cfg, hf, mp2, cc, _ = run_pipeline(
+        sample_data, tmp_path, "n2-cc-pvdz/2.00_0.00"
+    )
+    cfg.ccsd_t_paren = True
+    cfg.ccsd_t_renorm = False
+    cfg.ccsd_t_comp_renorm = False
+
+    cfg.ccsd_t_spatial_bug_compat = False
+    tr = do_ccsd_t_spatial(sys_, cc, cfg, hf.levels)
+    # correct (T): the z3_bar contribution is real (els_energy.dat's CR
+    # run shows the same split: [T] -0.6993574848 vs (T) -0.6848274031)
+    assert abs(tr.e_ccsd_t - -0.6993574848) < 1e-8
+    assert abs(tr.e_ccsd_tt - -0.6848274031) < 1e-8
+
+    cfg.ccsd_t_spatial_bug_compat = True
+    tr_bug = do_ccsd_t_spatial(sys_, cc, cfg, hf.levels)
+    # reference behaviour: plain (T) silently prints the [T] value
+    assert tr_bug.e_ccsd_tt == tr_bug.e_ccsd_t
+    assert abs(tr_bug.e_ccsd_t - tr.e_ccsd_t) < 1e-12
