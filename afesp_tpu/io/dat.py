@@ -39,11 +39,15 @@ class IntStore:
     """AO integral store (integrals.f90:24-34), dense in HBM."""
 
     e_nuc: float = 0.0
+    nbasis: int = 0
     ovlp: np.ndarray | None = None
     ke: np.ndarray | None = None
     ele_nuc: np.ndarray | None = None
     core_hamil: np.ndarray | None = None
-    eri: np.ndarray | None = None  # dense (n,n,n,n) chemist (ij|kl)
+    # dense host (n,n,n,n) chemist (ij|kl); None on the large-basis TPU
+    # path (the 8-fold scatter costs 1-6 min of fresh-page faults on this
+    # microVM and nothing device-side consumes it — see read_integrals)
+    eri: np.ndarray | None = None
     # 8-fold packed unique elements (reference eri_ind order) — the
     # device transfer format, built directly from the parsed eri.dat
     # table (cheap; the dense-gather alternative costs ~a minute of
@@ -65,8 +69,10 @@ class IntStore:
             from ..methods.hf import device_is_remote_tunnel
             from ..ops.packed_eri import pack_eri, unpack_eri
 
-            n = self.eri.shape[0]
-            if device_is_remote_tunnel() and n**4 > 2e6 and n <= 300:
+            n = self.nbasis if self.eri is None else self.eri.shape[0]
+            if self.eri is None or (
+                device_is_remote_tunnel() and n**4 > 2e6 and n <= 300
+            ):
                 packed = (
                     self.eri_packed
                     if self.eri_packed is not None
@@ -236,12 +242,22 @@ def read_integrals(
     ints.ke = read_dat_matrix(d / "t.dat", sys_.nbasis)
     ints.ele_nuc = read_dat_matrix(d / "v.dat", sys_.nbasis)
     ints.core_hamil = ints.ke + ints.ele_nuc
+    ints.nbasis = sys_.nbasis
     if require_eri or (d / "eri.dat").exists():
         tab = read_eri_table(d / "eri.dat")
         n = sys_.nbasis
-        ints.eri = read_eri_dense(d / "eri.dat", n, tab=tab)
         i, j, k, l = (tab[:, c].astype(np.int64) - 1 for c in range(4))
         ints.eri_packed = pack_from_table(i, j, k, l, tab[:, 4], n)
+        # the dense host tensor only feeds host-side consumers (small-n
+        # Fock/trajectory paths, CPU-backend MP2); on the large-basis
+        # TPU path everything reads the packed device unpack instead and
+        # the 8-fold scatter (1-6 min of fresh-page faults at 116 bf on
+        # this microVM) is skipped
+        import jax
+
+        large_tpu = n >= 100 and jax.default_backend() in ("tpu", "axon")
+        if not large_tpu:
+            ints.eri = read_eri_dense(d / "eri.dat", n, tab=tab)
 
     sys_.natoms, sys_.charges, sys_.coords = read_geometry(d / "geom.dat")
     sys_.nel = int(sys_.charges.sum())

@@ -184,7 +184,7 @@ def do_rhf(
     H = ints.core_hamil
     eri = ints.eri
     fock_consts = eri_K_host = None
-    if n >= _TPU_FOCK_NBASIS and eri is not None:
+    if n >= _TPU_FOCK_NBASIS and (eri is not None or ints.eri_packed is not None):
         if jax.default_backend() in ("tpu", "axon"):
             # split-f32 MXU Fock path: packed upload (8x smaller through
             # the tunnel) + one-time device pre-split of the J/K

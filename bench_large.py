@@ -53,6 +53,15 @@ def main():
     from afesp_tpu.methods.ccsd_spatial import do_ccsd_spatial
     from afesp_tpu.methods.triples_spatial import do_ccsd_t_spatial
 
+    # Establish the device session BEFORE any timed section: the axon
+    # tunnel's first device op in a process pays a handshake measured
+    # anywhere from seconds to ~9 minutes (load-dependent) — environment
+    # cost, not algorithm cost, so it must not land in a stage wall.
+    import jax.numpy as jnp
+    import numpy as np
+
+    float(np.asarray(jnp.zeros(8)[0]))
+
     t_all = time.perf_counter()
     cfg = read_els_in(FIXTURE)
     sys_, ints = dat.read_integrals(FIXTURE, cfg.restricted)
