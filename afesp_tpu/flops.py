@@ -62,7 +62,7 @@ def spinorb_ccsd_iteration_flops(o: int, v: int, precision: str = "f64") -> floa
     at their executed cost — 3 f32 products over the DENSE operand (the
     split GEMM cannot exploit Sz blocks on the w4/G terms) — so the
     reported TFLOP/s is honest for the mode the headline bench runs."""
-    hybrid = precision == "hybrid"
+    hybrid = precision in ("hybrid", "pallas")
     f = sz_fraction
     mac = 0.0
     # F intermediates (spin-blocked)

@@ -334,7 +334,9 @@ def do_ccsd_spatial(
         e0, r0 = cc_energy_restricted(t1, t2, jnp.zeros_like(t2), v.v_oovv)
     rep.write(" Allocating stored intermediate tensors...")
 
-    solver = get_spatial_solver(vvvv_split=cfg.ccsd_precision == "hybrid")
+    # "pallas" only changes the triples finale; the CC solve itself runs
+    # the hybrid split-f32 path
+    solver = get_spatial_solver(vvvv_split=cfg.ccsd_precision in ("hybrid", "pallas"))
 
     rep.write(f" Time taken: {time.perf_counter() - t_stage:8.6f} s")
     rep.write("")

@@ -86,7 +86,7 @@ def cr_intermediates(
     tensors feed the m3 GEMMs, which run f32 in hybrid mode anyway; the
     end-to-end effect on all six variant energies is <1e-8 on the N2
     golden (tests/test_triples_spatial.py)."""
-    if precision == "hybrid":
+    if precision in ("hybrid", "pallas"):
         f32 = jnp.float32
         t1, t2 = t1.astype(f32), t2.astype(f32)
         t1_prev, t2_prev = t1_prev.astype(f32), t2_prev.astype(f32)
@@ -193,7 +193,7 @@ def _islice_terms(
     es = partial(jnp.einsum, optimize=True)
     dj = lambda x, ax: jax.lax.dynamic_slice_in_dim(x, j0, jlen, axis=ax)
 
-    if precision == "hybrid":
+    if precision in ("hybrid", "pallas"):
         f32 = jnp.float32
         t1 = t1.astype(f32)
         t2 = t2.astype(f32)
@@ -228,7 +228,85 @@ def _islice_terms(
         - es("mkac,jbm->jkabc", t2, dj(Vo_i1, 0))
     )
 
+    def build_m3():
+        # M3 moment (Piecuch Eq. 62; ccsd.f90:2188-2193), same twelve-term
+        # joint-permutation structure as t3_D:
+        Iv, Jo = I_vovv_pp, I_ooov_pp
+        Iv_i1 = jnp.take(Iv, i0, axis=1)  # Iv[e,i0,b,a]  (v,v,v)
+        Jo_i0 = jnp.take(Jo, i0, axis=0)  # Jo[i0,k,m,c]  (o,o,v)
+        Jo_i1 = jnp.take(Jo, i0, axis=1)  # Jo[j,i0,m,a]  (o,o,v)
+        return (
+            es("jae,ekbc->jkabc", dj(t2_i, 0), Iv)
+            - es("mba,jkmc->jkabc", t2_ci, dj(Jo, 0))
+            + es("jbe,ekac->jkabc", dj(t2_ci, 0), Iv)
+            - es("mjab,kmc->jkabc", dj(t2, 1), Jo_i0)
+            + es("kjce,eba->jkabc", dj(t2, 1), Iv_i1)
+            - es("mkbc,jma->jkabc", t2, dj(Jo_i1, 0))
+            + es("kae,ejcb->jkabc", t2_i, dj(Iv, 1))
+            - es("mca,kjmb->jkabc", t2_ci, dj(Jo, 1))
+            + es("jkbe,eca->jkabc", dj(t2, 0), Iv_i1)
+            - es("mjcb,kma->jkabc", dj(t2, 1), Jo_i1)
+            + es("kce,ejab->jkabc", t2_ci, dj(Iv, 1))
+            - es("mkac,jmb->jkabc", t2, dj(Jo_i0, 0))
+        )
+
     eo_j = jax.lax.dynamic_slice_in_dim(e_o, j0, jlen)
+
+    if precision == "pallas":
+        # Fused VMEM finale (ops/triples_pallas.triples_finale_spatial):
+        # only the two GEMM outputs (t3_D, m3) touch HBM; t3/xbar/z3/y
+        # and all six reductions happen in VMEM per (j,k) panel.
+        from ..ops.triples_pallas import triples_finale_spatial
+
+        nv = t3_D.shape[-1]
+        o = t2.shape[0]
+        m3 = build_m3() if doing_CR else t3_D
+        voovv_i0 = jnp.take(v_oovv, i0, axis=0)  # (o,v,v)
+        bcast = lambda x: jnp.broadcast_to(x, (jlen, o, nv, nv))
+        mats = jnp.stack(
+            [
+                dj(v_oovv, 0),                      # v_oovv[j,k]  [b,c]
+                bcast(voovv_i0[None]),              # v_oovv[i,k]  [a,c]
+                bcast(dj(voovv_i0, 0)[:, None]),    # v_oovv[i,j]  [a,b]
+                dj(t2, 0),                          # t2[j,k]      [b,c]
+                bcast(t2_i[None]),                  # t2[i,k]      [a,c]
+                bcast(dj(t2_i, 0)[:, None]),        # t2[i,j]      [a,b]
+            ],
+            axis=2,
+        ).reshape(jlen * o, 6, nv, nv)
+        vecs = jnp.stack(
+            [
+                jnp.broadcast_to(dj(t1, 0)[:, None, :], (jlen, o, nv)),
+                jnp.broadcast_to(t1[None], (jlen, o, nv)),
+            ],
+            axis=2,
+        ).reshape(jlen * o, 2, nv)
+        eo_sum = (e_o[i0] + eo_j[:, None] + e_o[None, :]).reshape(-1)
+        s0, s1, s2, s3, s4, s5 = triples_finale_spatial(
+            t3_D.reshape(-1, nv, nv, nv),
+            m3.reshape(-1, nv, nv, nv),
+            mats,
+            vecs,
+            eo_sum.astype(jnp.float32),
+            t1_i,
+            e_v,
+            doing_T=doing_T,
+            doing_Y=doing_R or doing_CR,
+            doing_CR=doing_CR,
+        )
+        acc = {"e_T": s0}
+        if doing_T:
+            acc["e_TT"] = s0 + s1
+        if doing_R or doing_CR:
+            acc["D_T"] = s2
+            if doing_T:
+                acc["D_TT"] = s2 + s3
+        if doing_CR:
+            acc["e_CR"] = s4
+            if doing_T:
+                acc["e_CRT"] = s4 + s5
+        return acc
+
     D3 = (
         (e_o[i0] + eo_j[:, None] + e_o[None, :])[:, :, None, None, None]
         - e_v[None, None, :, None, None]
@@ -265,26 +343,7 @@ def _islice_terms(
             acc["D_TT"] = acc["D_T"] + jnp.sum(z3_bar * y)
 
     if doing_CR:
-        # M3 moment (Piecuch Eq. 62; ccsd.f90:2188-2193), same twelve-term
-        # joint-permutation structure as t3_D:
-        Iv, Jo = I_vovv_pp, I_ooov_pp
-        Iv_i1 = jnp.take(Iv, i0, axis=1)  # Iv[e,i0,b,a]  (v,v,v)
-        Jo_i0 = jnp.take(Jo, i0, axis=0)  # Jo[i0,k,m,c]  (o,o,v)
-        Jo_i1 = jnp.take(Jo, i0, axis=1)  # Jo[j,i0,m,a]  (o,o,v)
-        m3 = (
-            es("jae,ekbc->jkabc", dj(t2_i, 0), Iv)
-            - es("mba,jkmc->jkabc", t2_ci, dj(Jo, 0))
-            + es("jbe,ekac->jkabc", dj(t2_ci, 0), Iv)
-            - es("mjab,kmc->jkabc", dj(t2, 1), Jo_i0)
-            + es("kjce,eba->jkabc", dj(t2, 1), Iv_i1)
-            - es("mkbc,jma->jkabc", t2, dj(Jo_i1, 0))
-            + es("kae,ejcb->jkabc", t2_i, dj(Iv, 1))
-            - es("mca,kjmb->jkabc", t2_ci, dj(Jo, 1))
-            + es("jkbe,eca->jkabc", dj(t2, 0), Iv_i1)
-            - es("mjcb,kma->jkabc", dj(t2, 1), Jo_i1)
-            + es("kce,ejab->jkabc", t2_ci, dj(Iv, 1))
-            - es("mkac,jmb->jkabc", t2, dj(Jo_i0, 0))
-        )
+        m3 = build_m3()
         acc["e_CR"] = jnp.sum(t_bar * m3)
         if doing_T:
             acc["e_CRT"] = acc["e_CR"] + jnp.sum(z3_bar * m3)
@@ -322,6 +381,14 @@ def _triples_total_spatial(
     must divide nocc."""
     assert nocc % jlen == 0
     nslab = nocc // jlen
+    if precision in ("hybrid", "pallas"):
+        # hoist the f64->f32 operand casts out of the slab loop (see
+        # triples_spinorb._triples_total)
+        f32 = jnp.float32
+        t1, t2, v_vvov, v_oovo, v_oovv, I_vovv_pp, I_ooov_pp = (
+            x.astype(f32)
+            for x in (t1, t2, v_vvov, v_oovo, v_oovv, I_vovv_pp, I_ooov_pp)
+        )
     args = (t1, t2, v_vvov, v_oovo, v_oovv, e_o, e_v, I_vovv_pp, I_ooov_pp)
 
     def body(idx, sums):
@@ -358,6 +425,14 @@ def do_ccsd_t_spatial(
     rep.section("CCSD(T)")
     t_start = time.perf_counter()
 
+    precision = cfg.ccsd_precision
+    if precision == "hybrid" and jax.default_backend() in ("tpu", "axon"):
+        # TPU default: upgrade "hybrid" to the fused VMEM finale — same
+        # f32 GEMM panels, strictly less HBM traffic, validated ≤1e-8 vs
+        # f64 (tests/test_triples_spatial.py).  An explicit
+        # ccsd_precision="f64" is respected (full-f64 triples).
+        precision = "pallas"
+
     nocc, nvirt = sys_.nocc, sys_.nvirt
     doing_T = cfg.ccsd_t_paren
     doing_R = cfg.ccsd_t_renorm
@@ -372,20 +447,21 @@ def do_ccsd_t_spatial(
     if doing_CR:
         I_vovv_pp, I_ooov_pp = cr_intermediates(
             t1, t2, jnp.asarray(cc.t1_prev), jnp.asarray(cc.t2_prev), v, nocc,
-            precision=cfg.ccsd_precision,
+            precision=precision,
         )
     else:
         I_vovv_pp = jnp.zeros((nvirt, nocc, nvirt, nvirt))
         I_ooov_pp = jnp.zeros((nocc, nocc, nocc, nvirt))
 
-    precision = cfg.ccsd_precision
     # j-slab length bounds the ~(6..20) live (jlen*o*v^3) panel transients
     # to ~8 GB.  In f64 mode each element effectively costs ~40 B: the
     # emulated f64 dots decompose operands/outputs into f32 limb arrays
     # ~4x the f64 bytes on top of the tensor itself (measured: jlen=5 at
     # 116 bf compiled to a 22.9 GB program).  Hybrid f32 GEMM panels cost
     # ~12 B/el (f32 GEMM + f64 t3).  The fused loop needs jlen | nocc.
-    el = 12 if precision == "hybrid" else 40
+    # "pallas" never materialises z3/y/t_bar in HBM, so its live-transient
+    # cost per element is lower than "hybrid"
+    el = {"hybrid": 12, "pallas": 8}.get(precision, 40)
     if i_block > 0:
         jlen = max(d for d in range(1, min(i_block, nocc) + 1) if nocc % d == 0)
     else:

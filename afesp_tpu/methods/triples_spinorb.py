@@ -204,6 +204,14 @@ def _triples_total(
     the memory budget; nocc is even for any closed-shell system)."""
     assert nocc % jlen == 0
     nslab = nocc // jlen
+    if precision in ("hybrid", "pallas"):
+        # hoist the f64->f32 operand casts out of the slab loop: inside
+        # _islice_energy they would re-run every fori_loop iteration
+        # (XLA does not LICM the ~150 MB of convert ops out of the loop)
+        f32 = jnp.float32
+        t1, t2, vovv, ovoo, oovv = (
+            x.astype(f32) for x in (t1, t2, vovv, ovoo, oovv)
+        )
     args = (t1, t2, vovv, ovoo, oovv, e_o, e_v)
 
     def body(idx, acc):

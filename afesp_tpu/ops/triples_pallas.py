@@ -30,6 +30,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _ksum(acc, term):
+    """Kahan compensated add: acc = (sum, compensation).  The per-plane
+    partial sums are same-signed, so a plain sequential f32 accumulation
+    over the a-loop grows error ~linearly in v (measured 2.5e-8 on the
+    stretched-N2 spatial golden); compensation brings it back to
+    per-plane rounding (~1e-9).  XLA does not reassociate f32 adds, so
+    the (t - s) - y cancellation survives compilation."""
+    s, c = acc
+    y = term - c
+    t = s + y
+    return t, (t - s) - y
+
+
 def _finale_kernel(eo_ref, ev_ref, x_ref, y_ref, dvv_ref, out_ref):
     p = pl.program_id(0)
     # keep all index arithmetic in i32: under jax_enable_x64 a bare `% 8`
@@ -59,12 +72,14 @@ def _finale_kernel(eo_ref, ev_ref, x_ref, y_ref, dvv_ref, out_ref):
             xpa = xp_s[pl.ds(a, 1)][0]
             wa = w_s[pl.ds(a, 1)][0]
             d_a = (eo - ev_ref[a]) - dvv
-            return acc + jnp.sum(xpa * wa / d_a)
+            return _ksum(acc, jnp.sum(xpa * wa / d_a))
 
         # i32 loop bounds: under x64 plain ints make an i64 counter
-        return jax.lax.fori_loop(
-            jnp.int32(0), jnp.int32(x.shape[0]), body, jnp.float32(0.0)
+        z = jnp.float32(0.0)
+        s, c = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(x.shape[0]), body, (z, z)
         )
+        return s + c
 
     v = x.shape[0]
     partial_sum = pl.run_scoped(
@@ -77,6 +92,217 @@ def _finale_kernel(eo_ref, ev_ref, x_ref, y_ref, dvv_ref, out_ref):
 
 def _on_tpu() -> bool:
     return jax.default_backend() in ("tpu", "axon")
+
+
+def _make_spatial_kernel(has_z: bool, has_y: bool, has_m: bool):
+    """Spatial-triples finale kernel body (see triples_finale_spatial)."""
+
+    def kernel(eo_ref, t1i_ref, ev_ref, x_ref, *rest):
+        if has_m:
+            m_ref, mats_ref, vecs_ref, dvv_ref, out_ref = rest
+        else:
+            m_ref = None
+            mats_ref, vecs_ref, dvv_ref, out_ref = rest
+        p = pl.program_id(0)
+        row = jax.lax.rem(p, jnp.int32(8))
+
+        @pl.when(row == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        dvv = dvv_ref[:]  # (v, v): ev[b] + ev[c]
+        eo = eo_ref[p]  # e_i + e_j + e_k for this panel
+        v = x_ref.shape[1]
+
+        t1j = vecs_ref[0, 0:1, :]  # (1, v)
+        t1k = vecs_ref[0, 1:2, :]  # (1, v)
+        t1j_c = jnp.transpose(t1j, (1, 0))  # (v, 1)
+
+        def xbar(t):
+            # make_x_bar (ccsd.f90:2313-2318) on a (v,v,v) value:
+            # 4/3 t[abc] - 2 t[acb] + 2/3 t[bca].  Computed as the exact
+            # integer-coefficient numerator 4t - 6t' + 2t''; the common
+            # 1/3 is applied to the six (bilinear-in-one-barred-factor)
+            # sums in f64 OUTSIDE the kernel — f32(4/3)/f32(2/3) would
+            # bias every t_bar element coherently by ~3e-8 relative,
+            # which was the dominant error of the first version
+            return (
+                jnp.float32(4.0) * t
+                - jnp.float32(6.0) * jnp.transpose(t, (0, 2, 1))
+                + jnp.float32(2.0) * jnp.transpose(t, (2, 0, 1))
+            )
+
+        def scoped(t3_s, tb_s, zb_s):
+            # t3 = t3_D / D, one a-plane at a time (Mosaic cannot lower
+            # the leading-axis 1-D->3-D broadcast of the denominator)
+            def bt3(a, c):
+                d_a = (eo - ev_ref[a]) - dvv
+                t3_s[pl.ds(a, 1)] = x_ref[0, pl.ds(a, 1)] / d_a[None]
+                return c
+
+            jax.lax.fori_loop(jnp.int32(0), jnp.int32(v), bt3, jnp.int32(0))
+            tb_s[:] = xbar(t3_s[:])
+
+            if has_z:
+                # z3 = P-sum of t1 (x) oovv outer products / D
+                # (Piecuch Eq. 60; ccsd.f90:2178-2179), built in VMEM from
+                # the (v,v) panels — never materialised in HBM
+                def bz3(a, c):
+                    d_a = (eo - ev_ref[a]) - dvv
+                    wjk = mats_ref[0, 0]  # v_oovv[j,k]      (v,v) [b,c]
+                    wik_a = mats_ref[0, 1, pl.ds(a, 1), :]  # (1,v) [c]
+                    wij_a = mats_ref[0, 2, pl.ds(a, 1), :]  # (1,v) [b]
+                    plane = (
+                        t1i_ref[a] * wjk
+                        + t1j_c * wik_a
+                        + jnp.transpose(wij_a, (1, 0)) * t1k
+                    )
+                    t3_s[pl.ds(a, 1)] = (plane / d_a)[None]
+                    return c
+
+                jax.lax.fori_loop(jnp.int32(0), jnp.int32(v), bz3, jnp.int32(0))
+                zb_s[:] = xbar(t3_s[:])
+
+            jk_outer = t1j_c * t1k  # (v,v): t1[j,b] t1[k,c]
+
+            def accb(a, sums):
+                s0, s1, s2, s3, s4, s5 = sums
+                xa = x_ref[0, pl.ds(a, 1)][0]  # (v,v)
+                tba = tb_s[pl.ds(a, 1)][0]
+                s0 = _ksum(s0, jnp.sum(tba * xa))
+                zba = None
+                if has_z:
+                    zba = zb_s[pl.ds(a, 1)][0]
+                    s1 = _ksum(s1, jnp.sum(zba * xa))
+                if has_y:
+                    # y plane (Piecuch Eq. 66; ccsd.f90:2183-2184)
+                    ujk = mats_ref[0, 3]  # t2[j,k]   (v,v) [b,c]
+                    uik_a = mats_ref[0, 4, pl.ds(a, 1), :]  # t2[i,k][a,:] (1,v)
+                    uij_a = mats_ref[0, 5, pl.ds(a, 1), :]  # t2[i,j][a,:] (1,v)
+                    ya = (
+                        t1i_ref[a] * (jk_outer + ujk)
+                        + t1j_c * uik_a
+                        + jnp.transpose(uij_a, (1, 0)) * t1k
+                    )
+                    s2 = _ksum(s2, jnp.sum(tba * ya))
+                    if has_z:
+                        s3 = _ksum(s3, jnp.sum(zba * ya))
+                if has_m:
+                    ma = m_ref[0, pl.ds(a, 1)][0]
+                    s4 = _ksum(s4, jnp.sum(tba * ma))
+                    if has_z:
+                        s5 = _ksum(s5, jnp.sum(zba * ma))
+                return (s0, s1, s2, s3, s4, s5)
+
+            z = jnp.float32(0.0)
+            pairs = jax.lax.fori_loop(
+                jnp.int32(0), jnp.int32(v), accb, ((z, z),) * 6
+            )
+            return tuple(s + c for s, c in pairs)
+
+        scratch = dict(
+            t3_s=pltpu.VMEM((v, v, v), jnp.float32),
+            tb_s=pltpu.VMEM((v, v, v), jnp.float32),
+            zb_s=pltpu.VMEM((v, v, v) if has_z else (8, 8, 128), jnp.float32),
+        )
+        sums = pl.run_scoped(scoped, **scratch)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        rowv = jnp.zeros((1, 128), jnp.float32)
+        for idx, s in enumerate(sums):
+            rowv = jnp.where(lane == jnp.int32(idx), s, rowv)
+        out_ref[pl.ds(row, 1), :] = rowv
+
+    return kernel
+
+
+@partial(
+    jax.jit, static_argnames=("doing_T", "doing_Y", "doing_CR", "interpret")
+)
+def triples_finale_spatial(
+    t3_D,
+    m3,
+    mats,
+    vecs,
+    eo_sum,
+    t1_i,
+    e_v,
+    *,
+    doing_T: bool,
+    doing_Y: bool,
+    doing_CR: bool,
+    interpret: bool | None = None,
+):
+    """Fused spatial-triples tail (ccsd.f90:2151-2237 per-(i,j,k) loop):
+    t3 = t3_D/D, t_bar = xbar(t3), z3/z3_bar and y built in VMEM from
+    their (v,v)/(v,) factors, and the six reductions
+
+        s0 = sum t_bar*t3_D   s1 = sum z3_bar*t3_D
+        s2 = sum t_bar*y      s3 = sum z3_bar*y
+        s4 = sum t_bar*m3     s5 = sum z3_bar*m3
+
+    in one VMEM pass per (j,k) panel — nothing but the GEMM outputs
+    (t3_D, m3) ever touches HBM.
+
+    t3_D/m3: (P, v, v, v) f32 (m3 ignored unless doing_CR);
+    mats: (P, 6, v, v) f32 rows [v_oovv[j,k], v_oovv[i,k], v_oovv[i,j],
+    t2[j,k], t2[i,k], t2[i,j]]; vecs: (P, 2, v) f32 rows [t1[j], t1[k]];
+    eo_sum: (P,) f32 e_i+e_j+e_k; t1_i, e_v: (v,) f32.
+    Returns six f64 sums (zeros for disabled variants)."""
+    P, v = t3_D.shape[0], t3_D.shape[1]
+    if interpret is None:
+        interpret = not _on_tpu()
+    rows = -(-P // 8) * 8
+    has_z, has_y, has_m = doing_T, doing_Y, doing_CR
+
+    panel_spec = pl.BlockSpec(
+        (1, v, v, v), lambda p, *_: (p, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = [panel_spec]
+    inputs = [t3_D]
+    if has_m:
+        in_specs.append(panel_spec)
+        inputs.append(m3)
+    in_specs += [
+        pl.BlockSpec(
+            (1, 6, v, v), lambda p, *_: (p, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec((1, 2, v), lambda p, *_: (p, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((v, v), lambda p, *_: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    inputs += [mats, vecs]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # eo_sum (P,), t1_i (v,), e_v (v,)
+        grid=(P,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (8, 128), lambda p, *_: (p // 8, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    dvv = (e_v[:, None] + e_v[None, :]).astype(jnp.float32)
+    # x64 OFF for tracing (see triples_finale)
+    with jax.enable_x64(False):
+        partials = pl.pallas_call(
+            _make_spatial_kernel(has_z, has_y, has_m),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(
+            eo_sum,
+            t1_i.astype(jnp.float32),
+            e_v.astype(jnp.float32),
+            *inputs,
+            dvv,
+        )
+    # each sum is bilinear with exactly one xbar'd factor: fold the
+    # deferred 1/3 back in here, in f64
+    return tuple(
+        jnp.sum(partials[:P, i], dtype=jnp.float64) / 3.0 for i in range(6)
+    )
 
 
 @partial(jax.jit, static_argnames=("interpret",))

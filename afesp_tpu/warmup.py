@@ -70,7 +70,7 @@ def _prefetch_spinorb(
 
     no_sp = nel // 2
     solver = get_spinorb_solver(
-        paper_foo=equations == "paper", vvvv_split=precision == "hybrid"
+        paper_foo=equations == "paper", vvvv_split=precision in ("hybrid", "pallas")
     )
     # the triples stage resolves its own precision (do_ccsd_t_spinorb
     # defaults to the Pallas finale on tpu/axon backends) — prefetch the
@@ -148,7 +148,7 @@ def _prefetch_spatial(
     from .ops.cc_step import init_cc_state
 
     nocc = nel // 2
-    solver = get_spatial_solver(vvvv_split=precision == "hybrid")
+    solver = get_spatial_solver(vvvv_split=precision in ("hybrid", "pallas"))
 
     if nbasis > _AOT_NBASIS:
         eri_s, lv_s = _sds((nbasis,) * 4), _sds((nbasis,))

@@ -66,6 +66,24 @@ def test_triples_spatial_hybrid_matches_f64(sample_data, tmp_path):
     assert abs(trh.D_TT - tr64.D_TT) < 1e-6
 
 
+def test_triples_spatial_pallas_matches_f64(sample_data, tmp_path):
+    """precision='pallas' (fused VMEM finale: t3/xbar/z3/y built and
+    reduced in-kernel, ops/triples_pallas.triples_finale_spatial) must
+    reproduce the f64 spatial triples within the 1e-8 contract on every
+    variant.  Off-TPU the kernel runs in interpret mode — same math."""
+    sys_, ints, cfg, hf, mp2, cc, _ = run_pipeline(
+        sample_data, tmp_path, "n2-cc-pvdz/2.00_0.00"
+    )
+    tr64 = do_ccsd_t_spatial(sys_, cc, cfg, hf.levels)
+    cfg.ccsd_precision = "pallas"
+    trp = do_ccsd_t_spatial(sys_, cc, cfg, hf.levels)
+    for k in ("e_ccsd_t", "e_ccsd_tt", "e_rccsd_t", "e_rccsd_tt",
+              "e_crccsd_t", "e_crccsd_tt"):
+        assert abs(getattr(trp, k) - getattr(tr64, k)) < 1e-8, k
+    assert abs(trp.D_T - tr64.D_T) < 1e-6
+    assert abs(trp.D_TT - tr64.D_TT) < 1e-6
+
+
 def test_plain_paren_t_bug_compat_flag(sample_data, tmp_path):
     """Plain CCSD(T)_spatial bit-parity documentation (VERDICT r1 item
     8): the reference only forms z3_bar for renormalised variants
