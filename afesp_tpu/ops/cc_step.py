@@ -31,6 +31,7 @@ class CCState(NamedTuple):
     t2_old: jnp.ndarray  # for the RMS (ccsd.f90:1776)
     diis_T: jnp.ndarray  # (nerr, size) amplitude history
     diis_E: jnp.ndarray  # (nerr, size) error history
+    gram: jnp.ndarray  # (nerr, nerr) E E^T, maintained incrementally
     slot: jnp.ndarray  # int32 ring position
     n_active: jnp.ndarray  # int32
 
@@ -47,6 +48,7 @@ def init_cc_state(t1, t2, n_errmat: int) -> CCState:
         t2_old=t2,
         diis_T=jnp.zeros((n_errmat, size)),
         diis_E=jnp.zeros((n_errmat, size)),
+        gram=jnp.zeros((n_errmat, n_errmat)),
         slot=jnp.int32(-1),
         n_active=jnp.int32(0),
     )
@@ -106,7 +108,14 @@ def _make_step_body(iteration_fn, energy_fn):
         T = state.diis_T.at[slot].set(flat)
         E = state.diis_E.at[slot].set(err)
 
-        gram = E @ E.T
+        # Gram matrix maintained INCREMENTALLY (only the slot row/column
+        # changes — the other E rows are untouched), and the new row as
+        # an elementwise multiply-reduce rather than a dot: XLA's f64
+        # dot emulation runs the skinny (nerr, size) E E^T at ~100x off
+        # the bandwidth bound (measured 9.3 ms/iteration at pVTZ shapes
+        # vs 0.4 ms for this form; same for the extrapolation below)
+        row = jnp.sum(E * err[None, :], axis=1)
+        gram = state.gram.at[slot, :].set(row).at[:, slot].set(row)
         active = jnp.arange(nerr) < n
         both = active[:, None] & active[None, :]
         M = jnp.zeros((nerr + 1, nerr + 1))
@@ -117,7 +126,7 @@ def _make_step_body(iteration_fn, energy_fn):
         M = M.at[:nerr, nerr].set(jnp.where(active, -1.0, 0.0))
         rhs = jnp.zeros(nerr + 1).at[nerr].set(-1.0)
         c, solve_ok = gauss_solve(M, rhs)
-        extrap = c[:nerr] @ T
+        extrap = jnp.sum(c[:nerr, None] * T, axis=0)
 
         use = (n >= 2) & solve_ok
         new_flat = jnp.where(use, extrap, flat)
@@ -134,6 +143,7 @@ def _make_step_body(iteration_fn, energy_fn):
             t2_old=t2n,
             diis_T=T,
             diis_E=E,
+            gram=gram,
             slot=slot,
             n_active=n,
         )

@@ -75,6 +75,7 @@ def shard_cc_state(mesh: Mesh, state: CCState) -> CCState:
         t2_old=put(state.t2_old, s2),
         diis_T=put(state.diis_T, repl),
         diis_E=put(state.diis_E, repl),
+        gram=put(state.gram, repl),
         slot=put(state.slot, repl),
         n_active=put(state.n_active, repl),
     )
