@@ -57,15 +57,21 @@ def spinorb_ccsd_iteration_flops(o: int, v: int, precision: str = "f64") -> floa
     so the TFLOP/s bench numbers reflect work actually issued, not the
     dense-algorithm count.
 
-    precision="hybrid" counts the three contractions the hybrid path
-    runs as Ozaki split-f32 GEMMs (_w4_split, tau_vvvv_split, _g_split)
-    at their executed cost — 3 f32 products over the DENSE operand (the
-    split GEMM cannot exploit Sz blocks on the w4/G terms) — so the
-    reported TFLOP/s is honest for the mode the headline bench runs."""
+    precision="hybrid" counts each contraction at its executed cost:
+    the 4-index-output heavyweights run as ONE dense integer-digit MXU
+    GEMM = 6 f32 digit-pair products over the DENSE operands (no Sz
+    blocking; exact_gemm.exact_einsum at L=4/maxdeg=5), while the F
+    intermediates (and the T1 ovvv term) stay Sz-block-sparse f64 (see
+    _iteration_core) — so the reported TFLOP/s is honest for the mode
+    the headline bench runs."""
     hybrid = precision in ("hybrid", "pallas")
+    # `h`: the hs-contracted heavyweights — dense digit GEMM (6 f32
+    # products) in hybrid, Sz-blocked fraction of the dense MACs in f64.
+    # `f`: always-Sz-blocked contractions (F intermediates, T1 ovvv).
+    h = (lambda spec: 6.0) if hybrid else sz_fraction
     f = sz_fraction
     mac = 0.0
-    # F intermediates (spin-blocked)
+    # F intermediates (Sz-blocked in every mode)
     mac += f("mf,mafe->ae") * v * v * o * v
     mac += f("mnaf,mnfe->ae") * v * v * o * o * v
     mac += f("ne,nmie->mi") * o * o * o * v
@@ -73,8 +79,8 @@ def spinorb_ccsd_iteration_flops(o: int, v: int, precision: str = "f64") -> floa
     mac += o * v * o * v            # nf,mnef->me (dense)
     # W intermediates
     mac += o**4 * v                 # mnie,je->mnij (dense)
-    mac += f("mnef,ijef->mnij") * o**4 * v * v
-    mac += f("mbef,jf->mbej") * o * o * v**3
+    mac += h("mnef,ijef->mnij") * o**4 * v * v
+    mac += h("mbef,jf->mbej") * o * o * v**3
     mac += o**3 * v * v             # nb,nmej->mbej (dense)
     if hybrid:
         mac += 3 * o**3 * v**3  # _w4_split: 3 f32 products, dense GEMM
@@ -86,13 +92,13 @@ def spinorb_ccsd_iteration_flops(o: int, v: int, precision: str = "f64") -> floa
     mac += o**3 * v * v             # mnea,mnei (dense)
     # T2
     mac += o**3 * v * v             # ie,ma,mbej chain (dense)
-    mac += f("miea,mbej->ijab") * o**3 * v**3
-    mac += f("ijae,be->ijab") * o * o * v**3
+    mac += h("miea,mbej->ijab") * o**3 * v**3
+    mac += h("ijae,be->ijab") * o * o * v**3
     mac += o * o * v**3             # ijae,mb,me (dense)
     mac += 2 * o**3 * v * v         # ie,me,mjab ; ijbm,ma
-    mac += f("ie,ejab->ijab") * o * o * v**3
+    mac += h("ie,ejab->ijab") * o * o * v**3
     mac += o**3 * v * v             # mi,mjab
-    mac += f("mnij,mnab->ijab") * o**4 * v * v
+    mac += h("mnij,mnab->ijab") * o**4 * v * v
     # blocked tau*vvvv: 3 spin-block GEMMs; x3 f32 products when split
     mac += (9 if hybrid else 3) * o * o * (v // 2) ** 4
     if hybrid:

@@ -113,6 +113,7 @@ from ..ops.split_gemm import (  # noqa: E402,F401
     split_einsum,
     split_matmul,
 )
+from ..ops.exact_gemm import exact_einsum  # noqa: E402
 
 
 def _split_gemm_chunked(tau_b, v_b, kc: int = 64, B_pre=None):
@@ -219,14 +220,38 @@ def _iteration_core(
     vvvv_split: bool = False,
 ):
     es = partial(jnp.einsum, optimize=True)
-    # Sz-block-sparse evaluation for the contractions that stay f64:
-    # forbidden spin blocks are exact zeros (ops/spin_einsum.py), so
-    # skipping them is exact up to f64 reassociation while cutting the
-    # emulated-f64 GEMM FLOPs ~6x.  Only even spin-orbital extents
-    # qualify (always true for the closed-shell spin-orbital path).
+    # Sz-block-sparse evaluation (`bs`) — forbidden spin blocks are
+    # exact zeros (ops/spin_einsum.py), so skipping them is exact up to
+    # f64 reassociation while cutting the emulated-f64 GEMM FLOPs ~6x.
+    # Only even spin-orbital extents qualify (always true for the
+    # closed-shell spin-orbital path).
     from ..ops.spin_einsum import spin_blocked_einsum
 
-    bs = spin_blocked_einsum if t1.shape[0] % 2 == 0 and t1.shape[1] % 2 == 0 else es
+    bs = (
+        spin_blocked_einsum
+        if t1.shape[0] % 2 == 0 and t1.shape[1] % 2 == 0
+        else es
+    )
+    if vvvv_split:
+        # hybrid mode: the 4-index-output contractions below run as ONE
+        # dense integer-digit MXU GEMM each (`hs` = ops/exact_gemm
+        # .exact_einsum, 6 f32 digit-pair products).  Profiling showed
+        # the Sz-blocked route's ~10 half-size GEMMs + 16-block
+        # concatenate reassembly per 4-index contraction dominated the
+        # iteration wall (~21 ms/it of dynamic-update-slice churn at
+        # pVTZ shapes vs ~0.1 ms of GEMM math).  The hi/lo split-f32
+        # route (split_einsum) was tried first and rejected: its
+        # ~7.7e-8-relative per-GEMM accumulation noise moved the
+        # converged fixed point 1.0-1.2e-8 past the f64 answer on the
+        # real TPU (bench gate 1e-8), non-monotonically in kc.  The
+        # digit GEMMs accumulate exactly per chunk, leaving only the
+        # ~2^-35-of-scale digit truncation (~500x tighter, measured),
+        # for 2x the (negligible) f32 GEMM passes.  The F intermediates
+        # stay Sz-blocked f64: their 2-index outputs assemble with a
+        # single cheap concat, so splitting buys nothing there.
+        hs = exact_einsum
+    else:
+        hs = bs
 
     # -------- tau / tau~ (ccsd.f90:678-715) --------
     x = es("ia,jb->ijab", t1, t1)
@@ -264,7 +289,7 @@ def _iteration_core(
         v.oooo
         + w1
         - jnp.transpose(w1, (0, 1, 3, 2))
-        + 0.5 * bs("mnef,ijef->mnij", v.oovv, tau)
+        + 0.5 * hs("mnef,ijef->mnij", v.oovv, tau)
     )
     # W_abef (Eq. 7) is NOT materialised: its three contributions to the
     # T2 equation are fused below so no O(v^4) temporary beyond the
@@ -278,7 +303,7 @@ def _iteration_core(
         w4 = bs("mnef,jnfb->mbej", v.oovv, Z)
     W_ovvo = (
         v.ovvo
-        + bs("mbef,jf->mbej", v.ovvv, t1)
+        + hs("mbef,jf->mbej", v.ovvv, t1)
         + es("nb,nmej->mbej", t1, v.oovo)
         - w4
     )
@@ -295,7 +320,7 @@ def _iteration_core(
     t1_new = tmp_t1 / D_ia
 
     # -------- T2 (Eq. 2; ccsd.f90:967-1031) --------
-    s = -es("ie,ma,mbej->ijab", t1, t1, v.ovvo) + bs(
+    s = -es("ie,ma,mbej->ijab", t1, t1, v.ovvo) + hs(
         "miea,mbej->ijab", t2, W_ovvo
     )
     tmp_t2 = (
@@ -305,19 +330,19 @@ def _iteration_core(
         - jnp.transpose(s, (0, 1, 3, 2))
         + jnp.transpose(s, (1, 0, 3, 2))
     )
-    s = bs("ijae,be->ijab", t2, F_vv)
+    s = hs("ijae,be->ijab", t2, F_vv)
     tmp_t2 += s - jnp.transpose(s, (0, 1, 3, 2))
     s = es("ijae,mb,me->ijab", t2, t1, F_ov)
     tmp_t2 -= 0.5 * (s - jnp.transpose(s, (0, 1, 3, 2)))
     s = es("ie,me,mjab->ijab", t1, F_ov, t2)
     tmp_t2 -= 0.5 * (s - jnp.transpose(s, (1, 0, 2, 3)))
-    s = bs("ie,ejab->ijab", t1, v.vovv)
+    s = hs("ie,ejab->ijab", t1, v.vovv)
     tmp_t2 += s - jnp.transpose(s, (1, 0, 2, 3))
     s = es("ijbm,ma->ijab", v.oovo, t1)
     tmp_t2 += s - jnp.transpose(s, (0, 1, 3, 2))
     s = es("mi,mjab->ijab", F_oo, t2)
     tmp_t2 -= s - jnp.transpose(s, (1, 0, 2, 3))
-    tmp_t2 += 0.5 * bs("mnij,mnab->ijab", W_oooo, tau)
+    tmp_t2 += 0.5 * hs("mnij,mnab->ijab", W_oooo, tau)
     # 0.5 tau_ijef W_abef with W_abef = <ab||ef> + P_(ab) t1[m,b] <ma||ef>,
     # fused: the t1 part factors through G[i,j,m,a] = tau_ijef <ma||ef>
     # (O(o^3 v) memory instead of O(v^4)).
