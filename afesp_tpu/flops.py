@@ -112,13 +112,22 @@ def spinorb_ccsd_iteration_flops(o: int, v: int, precision: str = "f64") -> floa
     return 2.0 * mac
 
 
-def spinorb_triples_flops(o: int, v: int) -> float:
-    """Full spin-orbital (T): six v-contraction GEMMs + three t1 outer
-    products per (i,j,k) panel + the P(a/bc)/denominator/energy
-    elementwise finale, in algorithmic FLOPs."""
-    gemm_mac = 6 * o**3 * v**4      # f-/m-sum contractions
-    outer = 3 * o**3 * v**3         # disconnected t3d
-    elementwise = 10 * o**3 * v**3  # P(a/bc) x2, D, product, reduction
+def spinorb_triples_flops(o: int, v: int, strict: bool = False) -> float:
+    """Spin-orbital (T): six contraction GEMMs + three t1 outer products
+    per (i,j,k) panel + the P(a/bc)/denominator/energy elementwise
+    finale.
+
+    strict=False: the algorithmic full-cube count (o^3 panels) — what
+    the reference's loop nest executes (ccsd.f90:1868-1914) and the
+    basis of the headline TFLOP/s "effective throughput" number.
+
+    strict=True: FLOPs as executed by the production strict-triangle
+    path (C(o,3) panels, 6/36 weight — see strict_triple_list): the
+    honest numerator for MXU-utilization metrics."""
+    ntrip = o * (o - 1) * (o - 2) // 6 if strict else o**3
+    gemm_mac = ntrip * (3 * v**4 + 3 * o * v**3)  # f-sums (K=v) + m-sums (K=o)
+    outer = 3 * ntrip * v**3        # disconnected t3d
+    elementwise = 10 * ntrip * v**3  # P(a/bc) x2, D, product, reduction
     return 2.0 * gemm_mac + 2.0 * outer + elementwise
 
 

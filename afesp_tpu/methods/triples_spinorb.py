@@ -31,18 +31,15 @@ from ..io.report import Reporter
 from .ccsd_spinorb import CCSDSpinorbResult
 
 
-def triples_chunk_energies(ii, jj, kk, t1, t2, vovv, ovoo, oovv, e_o, e_v):
-    """Per-triple E(T) contributions for a chunk of (i,j,k) triples.
-
-    ii/jj/kk: (C,) index arrays.  Returns a (C,) vector of contributions
-    (including the 1/36 factor, ccsd.f90:1910); the caller reduces.
-    This is the unit the multi-chip path shards over the device mesh
-    (parallel/triples_shard.py).
-    """
+def _chunk_panels(ii, jj, kk, t1, t2, vovv, ovoo, oovv):
+    """t3c/t3d numerator panels, (C, v, v, v), for a chunk of (i,j,k)
+    triples given as (C,) index arrays — batched MXU GEMMs over gathered
+    operands.  Panels carry the P(i/jk) row permutation only; P(a/bc),
+    the denominator and the reduction are the finale's job."""
     es = partial(jnp.einsum, optimize=True)
 
     # Disconnected triples numerator: P(i/jk) rows (ccsd.f90:1878),
-    # later antisymmetrised over P(a/bc) by the two transposes below.
+    # later antisymmetrised over P(a/bc) by the finale.
     # base[C,a,b,c] = t1[i,a] <jk||bc> - t1[j,a] <ik||bc> - t1[k,a] <ji||bc>
     t3d = (
         es("Ca,Cbc->Cabc", t1[ii], oovv[jj, kk])
@@ -63,6 +60,16 @@ def triples_chunk_energies(ii, jj, kk, t1, t2, vovv, ovoo, oovv, e_o, e_v):
         + es("mCcb,maC->Cabc", t2[:, jj], ovoo[:, :, ii, kk])
         + es("mCcb,maC->Cabc", t2[:, kk], ovoo[:, :, jj, ii])
     )
+    return t3c, t3d
+
+
+def triples_chunk_energies(ii, jj, kk, t1, t2, vovv, ovoo, oovv, e_o, e_v):
+    """Per-triple E(T) contributions for a chunk of (i,j,k) triples.
+
+    ii/jj/kk: (C,) index arrays.  Returns a (C,) vector of contributions
+    (including the 1/36 factor, ccsd.f90:1910); the caller reduces.
+    """
+    t3c, t3d = _chunk_panels(ii, jj, kk, t1, t2, vovv, ovoo, oovv)
 
     # P(a/bc): x - x(bac) - x(cba) (ccsd.f90:1897-1907)
     def p_abc(x):
@@ -222,6 +229,119 @@ def _triples_total(
     return jax.lax.fori_loop(0, nocc * nslab, body, jnp.float64(0.0))
 
 
+def strict_triple_list(nocc: int):
+    """All strictly-ordered occupied triples i<j<k, lexicographic, as
+    int32 numpy arrays (C(nocc,3) entries).
+
+    The full-cube sum the reference runs (ccsd.f90:1868-1914, all o^3
+    (i,j,k)) is 6-fold redundant: the t3 numerators are fully
+    antisymmetric in (i,j,k) (they are P(i/jk) applied to operands
+    already antisymmetric in the remaining pair), the denominator D is
+    symmetric, so the per-triple summand is (i,j,k)-symmetric and
+    vanishes whenever two indices coincide.  Summing i<j<k and scaling
+    by 6/36 = 1/6 is exact — and cuts the executed GEMM work ~8.3x at
+    nocc=10 (120 strict triples vs the 1000-panel cube)."""
+    idx = np.arange(nocc, dtype=np.int32)
+    ii, jj, kk = np.meshgrid(idx, idx, idx, indexing="ij")
+    m = (ii < jj) & (jj < kk)
+    return ii[m], jj[m], kk[m]
+
+
+def _pick_clen(nvirt: int, precision: str, total: int) -> int:
+    """Largest per-chunk triple count whose ~12 live (C, v^3) transients
+    fit a ~10 GB HBM budget.  f64 operands inside XLA dots decompose
+    into f32 limb arrays ~4x the f64 bytes, hence the 32 B/element."""
+    el = 4 if precision in ("hybrid", "pallas", "fused") else 32
+    return max(1, min(total, int(10e9 / (12 * el * nvirt**3))))
+
+
+def strict_plan(nocc: int, nvirt: int, precision: str, multiple: int = 1):
+    """(ii, jj, kk, clen) for the strict-triangle grid: the triple list
+    padded with (0,0,0) entries — which contribute exactly zero, since
+    every numerator term then carries a vanishing t2[p,p] / <pp||bc> /
+    <ma||pp> factor — to a multiple of clen*multiple."""
+    ii, jj, kk = strict_triple_list(nocc)
+    total = len(ii)
+    if total == 0:
+        return ii, jj, kk, 1
+    clen = _pick_clen(nvirt, precision, total)
+    npad = -(-total // (clen * multiple)) * (clen * multiple) - total
+    pad = np.zeros(npad, dtype=np.int32)
+    return (
+        np.concatenate([ii, pad]),
+        np.concatenate([jj, pad]),
+        np.concatenate([kk, pad]),
+        clen,
+    )
+
+
+def _strict_chunk_energy(
+    iii, jjj, kkk, t1, t2, vovv, ovoo, oovv, e_o, e_v, precision: str
+):
+    """Sum of E(T)*6 contributions of one chunk of strict triples (the
+    global 1/6 is applied by the caller).  Operands arrive already cast
+    (f32 for hybrid/pallas); e_o/e_v stay f64 except inside the Pallas
+    finale, whose all-f32 denominator is validated in
+    tests/test_triples_pallas.py."""
+    t3c, t3d = _chunk_panels(iii, jjj, kkk, t1, t2, vovv, ovoo, oovv)
+    eo_sum = e_o[iii] + e_o[jjj] + e_o[kkk]
+    if precision == "pallas":
+        from ..ops.triples_pallas import triples_finale
+
+        return triples_finale(
+            t3c, t3d, eo_sum.astype(jnp.float32), e_v.astype(jnp.float32)
+        )
+
+    def p_abc(x):
+        return x - jnp.transpose(x, (0, 2, 1, 3)) - jnp.transpose(x, (0, 3, 2, 1))
+
+    t3c = p_abc(t3c)
+    t3d = p_abc(t3d)
+    D = (
+        eo_sum[:, None, None, None]
+        - e_v[None, :, None, None]
+        - e_v[None, None, :, None]
+        - e_v[None, None, None, :]
+    )
+    # D (and hence the product and reduction) is f64 in every mode
+    return jnp.sum(t3c * (t3c + t3d) / D, dtype=jnp.float64)
+
+
+@partial(jax.jit, static_argnames=("clen", "precision"))
+def _triples_total_strict(
+    t1, t2, vovv, ovoo, oovv, e_o, e_v, ii, jj, kk, *, clen: int, precision: str
+):
+    """E(T) over the strict i<j<k triple list as ONE compiled program
+    (lax.fori_loop over chunks of clen triples).  ii/jj/kk are padded to
+    a multiple of clen (strict_plan)."""
+    if precision == "fused":
+        # fully-fused Pallas kernel: GEMMs + finale VMEM-resident per
+        # triple, no chunking (nothing O(v^3) ever reaches HBM)
+        from ..ops.triples_pallas import triples_fused
+
+        return triples_fused(t1, t2, vovv, ovoo, oovv, e_o, e_v, ii, jj, kk) / 6.0
+
+    nchunk = ii.shape[0] // clen
+    iic = ii.reshape(nchunk, clen)
+    jjc = jj.reshape(nchunk, clen)
+    kkc = kk.reshape(nchunk, clen)
+    if precision in ("hybrid", "pallas"):
+        # hoist the f64->f32 operand casts out of the chunk loop
+        f32 = jnp.float32
+        t1, t2, vovv, ovoo, oovv = (
+            x.astype(f32) for x in (t1, t2, vovv, ovoo, oovv)
+        )
+
+    def body(c, acc):
+        e = _strict_chunk_energy(
+            iic[c], jjc[c], kkc[c],
+            t1, t2, vovv, ovoo, oovv, e_o, e_v, precision,
+        )
+        return acc + e
+
+    return jax.lax.fori_loop(0, nchunk, body, jnp.float64(0.0)) / 6.0
+
+
 def _pick_jlen(nocc: int, nvirt: int, precision: str) -> int:
     """Largest divisor of nocc whose ~26 live (jlen*o*v^3) transients fit
     in a ~10 GB HBM budget (nocc is even for closed-shell systems, so
@@ -242,10 +362,11 @@ def do_ccsd_t_spinorb(
 ) -> float:
     """Returns e_ccsd_t = e_ccsd + E(T) (ccsd.f90:1917).
 
-    precision: "f64" | "hybrid" | "pallas" (default: "pallas" on TPU —
-    measured 2x faster than "hybrid" at equal 1e-9 accuracy on the pVTZ
-    headline, see bench.py — and "hybrid" elsewhere, since off-TPU the
-    Pallas kernel only exists in interpret mode)."""
+    precision: "f64" | "hybrid" | "pallas" | "fused" (default on TPU:
+    "pallas", the strict-triangle chunk path with the Pallas finale;
+    "fused" — the fully VMEM-resident kernel, measured ~2x faster again
+    at equal accuracy — requires nvirt <= 128; "hybrid" elsewhere, since
+    off-TPU the Pallas kernels only exist in interpret mode)."""
     if precision is None:
         import jax
 
@@ -268,21 +389,27 @@ def do_ccsd_t_spinorb(
     # <fi||bc> slice: vovv; <ma||jk>: ovoo; <jk||bc>: oovv (ccsd.f90:1834-1835)
     vovv, ovoo, oovv = v.vovv, v.ovoo, v.oovv
 
-    jlen = _pick_jlen(nocc, nvirt, precision)
-
     args = (t1, t2, vovv, ovoo, oovv, e_o, e_v)
     if mesh is not None:
-        # multi-chip: the SAME (i, j-slab) islice kernel, shard_map'd
+        # multi-chip: the SAME strict-triangle chunk kernel, shard_map'd
         # over the mesh with psum (parallel/triples_shard.py)
         from ..parallel.triples_shard import triples_total_sharded
 
         total = triples_total_sharded(
-            mesh, *args, nocc=nocc, jlen=jlen, precision=precision
+            mesh, *args, nocc=nocc, precision=precision
         )
     else:
-        total = float(
-            _triples_total(*args, nocc=nocc, jlen=jlen, precision=precision)
-        )
+        ii, jj, kk, clen = strict_plan(nocc, nvirt, precision)
+        if len(ii) == 0:
+            total = 0.0
+        else:
+            total = float(
+                _triples_total_strict(
+                    *args,
+                    jnp.asarray(ii), jnp.asarray(jj), jnp.asarray(kk),
+                    clen=clen, precision=precision,
+                )
+            )
 
     e_ccsd_t = total + cc.e_ccsd
     rep.write(

@@ -135,7 +135,13 @@ def exact_gemm(A=None, B=None, *, A_dig=None, B_dig=None, L: int = 7,
                 acc = term if acc is None else acc + term
         return acc * (4.0 * sA * sB)
 
-    # f32 digit path, kc-chunked for exact accumulation at any K
+    # bf16 digit path, kc-chunked for exact accumulation at any K.
+    # Base-128 digits are INTEGERS in [-64, 64] — exactly representable
+    # in bfloat16 (8-bit mantissa holds integers to 256) — so each
+    # digit-pair product runs as ONE native bf16 MXU pass (~6x fewer
+    # passes than an f32 GEMM at XLA's highest precision) with the f32
+    # accumulator keeping every chunk partial exact: products <= 2^14,
+    # chunk sums <= kc * 2^14 = 2^23 < 2^24.
     M = Ad[0].shape[0]
     N = Bd[0].shape[1]
     kc = min(K, _MAX_K_F32)
@@ -145,12 +151,12 @@ def exact_gemm(A=None, B=None, *, A_dig=None, B_dig=None, L: int = 7,
     def chunk_a(a):
         if pad:
             a = jnp.pad(a, ((0, 0), (0, pad)))
-        return a.reshape(M, nc, kc).transpose(1, 0, 2).astype(jnp.float32)
+        return a.reshape(M, nc, kc).transpose(1, 0, 2).astype(jnp.bfloat16)
 
     def chunk_b(b):
         if pad:
             b = jnp.pad(b, ((0, pad), (0, 0)))
-        return b.reshape(nc, kc, N).astype(jnp.float32)
+        return b.reshape(nc, kc, N).astype(jnp.bfloat16)
 
     Bc = [chunk_b(b) for b in Bd]
     acc = None
@@ -159,7 +165,9 @@ def exact_gemm(A=None, B=None, *, A_dig=None, B_dig=None, L: int = 7,
         for j in range(len(Bd)):
             if i + j + 2 > maxdeg:
                 continue
-            P = jnp.einsum("cmk,ckn->cmn", ai, Bc[j])  # exact per chunk
+            P = jnp.einsum(  # exact per chunk (f32 accumulation)
+                "cmk,ckn->cmn", ai, Bc[j], preferred_element_type=jnp.float32
+            )
             term = P.astype(jnp.float64).sum(0) * (2.0 ** (-_Q * (i + j + 2)))
             acc = term if acc is None else acc + term
     return acc * (4.0 * sA * sB)

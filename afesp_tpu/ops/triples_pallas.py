@@ -305,6 +305,213 @@ def triples_finale_spatial(
     )
 
 
+def _fused_kernel(o: int, v: int, vp: int, mp: int):
+    """Kernel body for triples_fused (closure over the static dims)."""
+    f32 = jnp.float32
+
+    def kernel(
+        ii_ref, jj_ref, kk_ref, eo_ref, ev_ref, t1_ref,  # scalar prefetch
+        t2a_jk, t2a_ik, t2a_ji,
+        ovA_jk, ovA_ik, ovA_ji,
+        vFM_i, vFM_j, vFM_k,
+        W_jk, W_ik, W_ij,
+        dvv_ref,
+        out_ref,
+        t3_s, s_s, sbac_s, scba_s, scab_s, sbca_s,
+    ):
+        p = pl.program_id(0)
+        row = jax.lax.rem(p, jnp.int32(8))
+
+        @pl.when(row == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        @pl.when(p == 0)
+        def _():
+            # planes a >= v of s are never written below; zero once so the
+            # whole-array transposes cannot read uninitialised VMEM
+            s_s[:] = jnp.zeros_like(s_s)
+
+        def dot2(a, b):
+            return jax.lax.dot_general(
+                a, b, (((1,), (0,)), ((), ())), preferred_element_type=f32
+            )
+
+        # ---- the connected-numerator GEMMs, VMEM-resident ----
+        # x[a, b*vp+c] = t3c[a,b,c] (P(i/jk) rows, ccsd.f90:1883-1890).
+        # The f-sum (K=v) and m-sum (K=o) contractions pair the SAME
+        # (occ-pair, third-index) combinations, so each pair fuses into
+        # one K-concatenated MXU dot: rhs rows [vovv[f,x,b,c]; t2[m,x,b,c]]
+        # (vFM, built host-side), lhs cols [t2[p,q,a,f] | ovoo->(a,m)].
+        # Per-dot issue cost dominates here (~20 us each, ablated), so 3
+        # dots instead of 6 nearly halves the GEMM wall.  Signs ride on
+        # the small lhs operands so every statement is a pure
+        # accumulation (read-modify-write `s - dot` chains ablated ~7 ms
+        # slower).  The (vp, vp^2) -> (vp, vp, vp) reshape is layout-free
+        # because vp is a multiple of the 128-lane tile.  m-sums enter
+        # with flipped sign via t2 antisymmetry in (b,c):
+        # sum_m t2[m,i,c,b] <ma||jk> = -sum_m t2[m,i,b,c] <ma||jk>
+        lhs_jk = jnp.concatenate([t2a_jk[0, 0], ovA_jk[0, 0]], axis=1)
+        lhs_ik = jnp.concatenate([t2a_ik[0, 0], ovA_ik[0, 0]], axis=1)
+        lhs_ji = jnp.concatenate([t2a_ji[0, 0], ovA_ji[0, 0]], axis=1)
+        t3_s[:] = dot2(lhs_jk, vFM_i[0]).reshape(vp, vp, vp)
+        t3_s[:] += dot2(-lhs_ik, vFM_j[0]).reshape(vp, vp, vp)
+        t3_s[:] += dot2(-lhs_ji, vFM_k[0]).reshape(vp, vp, vp)
+
+        # ---- s = t3c + t3d, built a-plane-wise from t1 x oovv outers ----
+        i = ii_ref[p]
+        j = jj_ref[p]
+        k = kk_ref[p]
+
+        def sbody(a, c):
+            t1i = t1_ref[i * vp + a]
+            t1j = t1_ref[j * vp + a]
+            t1k = t1_ref[k * vp + a]
+            # t3d[a] = t1[i,a] <jk||bc> - t1[j,a] <ik||bc> + t1[k,a] <ij||bc>
+            # (third sign flipped via <ji||bc> = -<ij||bc>)
+            y = t1i * W_jk[0, 0] - t1j * W_ik[0, 0] + t1k * W_ij[0, 0]
+            s_s[pl.ds(a, 1)] = (t3_s[pl.ds(a, 1)][0] + y)[None]
+            return c
+
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(v), sbody, jnp.int32(0))
+
+        # ---- energy: sum x * (P^2 s) / D  with P = I - T_ab - T_ac ----
+        # P self-adjoint, D fully symmetric => sum P(x) P(s) / D
+        #   = sum x * (3 s - 2 s_bac - 2 s_cba + s_cab + s_bca) / D.
+        # All four permutations of s are materialised as whole-array VMEM
+        # transposes (measured ~2.5 us each per panel — far cheaper than
+        # per-plane strided reads + 2-D transposes in the reduction loop,
+        # which ablated at ~42 us/panel).
+        sbac_s[:] = jnp.transpose(s_s[:], (1, 0, 2))  # [p,q,r] -> s[q,p,r]
+        scba_s[:] = jnp.transpose(s_s[:], (2, 1, 0))  # -> s[r,q,p]
+        scab_s[:] = jnp.transpose(s_s[:], (2, 0, 1))  # -> s[q,r,p] (bca)
+        sbca_s[:] = jnp.transpose(s_s[:], (1, 2, 0))  # -> s[r,p,q] (cab)
+
+        dvv = dvv_ref[:]
+        eo = eo_ref[p]
+
+        def accb(a, acc):
+            sl = pl.ds(a, 1)
+            x_p = t3_s[sl][0]  # t3c a-plane (the GEMM panel)
+            h = (
+                jnp.float32(3.0) * s_s[sl][0]
+                - jnp.float32(2.0) * sbac_s[sl][0]
+                - jnp.float32(2.0) * scba_s[sl][0]
+                + scab_s[sl][0]
+                + sbca_s[sl][0]
+            )
+            d_a = (eo - ev_ref[a]) - dvv
+            return _ksum(acc, jnp.sum(x_p * h / d_a))
+
+        z = jnp.float32(0.0)
+        s, c = jax.lax.fori_loop(jnp.int32(0), jnp.int32(v), accb, (z, z))
+        out_ref[pl.ds(row, 1), :] = jnp.full((1, 128), s + c, f32)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def triples_fused(
+    t1, t2, vovv, ovoo, oovv, e_o, e_v, ii, jj, kk, *, interpret: bool | None = None
+):
+    """Fully-fused spin-orbital triples: for each strict (i<j<k) triple,
+    the six connected-numerator MXU GEMMs (ccsd.f90:1883-1890), the
+    disconnected t1 outer products (1878), the P(a/bc) antisymmetrisation,
+    denominator and energy reduction (1897-1910) all execute inside one
+    Pallas kernel on VMEM-resident (v,v,v) panels — no t3 panel ever
+    touches HBM (the XLA strict path's remaining wall, measured 32 ms of
+    48 at pVTZ, is exactly that panel traffic).
+
+    Virtual dims are padded to vp=128 so the MXU's (a, b*c) GEMM output
+    reshapes to (a,b,c) panels without relayout; zero-padding is exact
+    (padded operand entries are zero => padded panel entries are zero).
+    Requires nvirt <= 128 (the committed spin-orbital fixtures; larger
+    systems fall back to the strict+finale path).
+
+    Returns sum over the given triples of P(t3c)(P(t3c)+P(t3d))/D — the
+    caller applies the strict-grid 1/6 weight."""
+    o, v = t1.shape
+    assert v <= 128, "triples_fused requires nvirt <= 128"
+    vp, mp = 128, -(-o // 8) * 8
+    if interpret is None:
+        interpret = not _on_tpu()
+    f32 = jnp.float32
+    pv, po = vp - v, mp - o
+
+    t2f = t2.astype(f32)
+    t2a = jnp.pad(t2f, ((0, 0), (0, 0), (0, pv), (0, pv)))
+    vF = jnp.pad(
+        vovv.astype(f32).transpose(1, 0, 2, 3),
+        ((0, 0), (0, pv), (0, pv), (0, pv)),
+    )
+    # ovoo[m,a,j,k] -> (j,k,a,m) so the block is the (a,m) GEMM lhs
+    ovA = jnp.pad(
+        ovoo.astype(f32).transpose(2, 3, 1, 0), ((0, 0), (0, 0), (0, pv), (0, po))
+    )
+    t2M = jnp.pad(
+        t2f.transpose(1, 0, 2, 3), ((0, 0), (0, po), (0, pv), (0, pv))
+    )
+    # one K-concatenated rhs per third-index: [vovv[f,x,:,:]; t2[m,x,:,:]]
+    vFM = jnp.concatenate([vF, t2M], axis=1).reshape(o, vp + mp, vp * vp)
+    Wv = jnp.pad(oovv.astype(f32), ((0, 0), (0, 0), (0, pv), (0, pv)))
+    t1flat = jnp.pad(t1.astype(f32), ((0, 0), (0, pv))).reshape(-1)
+    evp = jnp.pad(e_v.astype(f32), (0, pv), constant_values=1e3)
+    dvv = evp[:, None] + evp[None, :]
+    eo_sum = (e_o[ii] + e_o[jj] + e_o[kk]).astype(f32)
+
+    C = ii.shape[0]
+    rows = -(-C // 8) * 8
+
+    bs4 = lambda im: pl.BlockSpec((1, 1, vp, vp), im, memory_space=pltpu.VMEM)
+    bsF = lambda im: pl.BlockSpec(
+        (1, vp + mp, vp * vp), im, memory_space=pltpu.VMEM
+    )
+    bsA = lambda im: pl.BlockSpec((1, 1, vp, mp), im, memory_space=pltpu.VMEM)
+    # index maps receive (p, *prefetch_refs); triples select their blocks
+    jk = lambda p, ii, jj, kk, *_: (jj[p], kk[p], 0, 0)
+    ik = lambda p, ii, jj, kk, *_: (ii[p], kk[p], 0, 0)
+    ji = lambda p, ii, jj, kk, *_: (jj[p], ii[p], 0, 0)
+    ij = lambda p, ii, jj, kk, *_: (ii[p], jj[p], 0, 0)
+    bi = lambda p, ii, jj, kk, *_: (ii[p], 0, 0)
+    bj = lambda p, ii, jj, kk, *_: (jj[p], 0, 0)
+    bk = lambda p, ii, jj, kk, *_: (kk[p], 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,  # ii, jj, kk, eo_sum, evp, t1flat
+        grid=(C,),
+        in_specs=[
+            bs4(jk), bs4(ik), bs4(ji),          # t2a lhs halves (a,f)
+            bsA(jk), bsA(ik), bsA(ji),          # ovoo lhs halves (a,m)
+            bsF(bi), bsF(bj), bsF(bk),          # K-concat rhs (f+m, b*c)
+            bs4(jk), bs4(ik), bs4(ij),          # oovv W panels
+            pl.BlockSpec((vp, vp), lambda p, *_: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (8, 128), lambda p, *_: (p // 8, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((vp, vp, vp), f32)] * 6,
+    )
+    with jax.enable_x64(False):
+        partials = pl.pallas_call(
+            _fused_kernel(o, v, vp, mp),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((rows, 128), f32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=128 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(
+            ii.astype(jnp.int32), jj.astype(jnp.int32), kk.astype(jnp.int32),
+            eo_sum, evp, t1flat,
+            t2a, t2a, t2a,
+            ovA, ovA, ovA,
+            vFM, vFM, vFM,
+            Wv, Wv, Wv,
+            dvv,
+        )
+    return jnp.sum(partials[:C, 0], dtype=jnp.float64)
+
+
 @partial(jax.jit, static_argnames=("interpret",))
 def triples_finale(t3c, t3d, eo_sum, e_v, *, interpret: bool | None = None):
     """t3c/t3d: (P, v, v, v) f32 panels (P = panel count, e.g. jlen*nocc);

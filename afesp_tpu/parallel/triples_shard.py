@@ -1,20 +1,17 @@
-"""Multi-chip CCSD(T): shard the (i, j-slab) triples grid over the ICI
-mesh.
+"""Multi-chip CCSD(T): shard the triples grid over the ICI mesh.
 
 Replaces the reference's OpenACC offload of do_ccsd_t_spinorb_acc
-(ccsd.f90:1924-2016), which is single-GPU.  Each device receives an
-equal share of the PRODUCTION (i, j-slab) islice grid — the exact same
-`_islice_energy` / `_islice_terms` slab kernels the single-chip fused
-loops run (methods/triples_spinorb.py, methods/triples_spatial.py),
-including the hybrid-f32 and Pallas-finale variants — runs its slabs in
-a local fori_loop, and psum-reduces the energies over the mesh.
-Amplitudes and ERI slices are replicated: at this problem scale they are
-tiny next to the o^3 v^3 work, and the slab grid is embarrassingly
-parallel.
+(ccsd.f90:1924-2016), which is single-GPU.  The spin-orbital path shards
+the PRODUCTION strict-triangle (i<j<k) chunk grid — the exact same
+`_strict_chunk_energy` kernel the single-chip fused loop runs, including
+the hybrid-f32 and Pallas-finale variants; the spatial path shards the
+(i, j-slab) `_islice_terms` grid.  Each device runs its share in a local
+fori_loop and psum-reduces the energies over the mesh.  Amplitudes and
+ERI slices are replicated: at this problem scale they are tiny next to
+the o^3 v^3 work, and the grids are embarrassingly parallel.
 
 `triples_chunk_energies`-based sharding (per-(i,j,k) gather batches) is
-kept only as the fallback for grids too small to fill a mesh with whole
-slabs.
+kept only as the full-cube oracle for the parity tests.
 """
 
 from __future__ import annotations
@@ -31,7 +28,10 @@ try:
 except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
 
-from ..methods.triples_spinorb import _islice_energy, triples_chunk_energies
+from ..methods.triples_spinorb import (
+    _strict_chunk_energy,
+    triples_chunk_energies,
+)
 
 
 def _padded_grid(total: int, ndev: int):
@@ -54,18 +54,30 @@ def triples_total_sharded(
     e_v,
     *,
     nocc: int,
-    jlen: int,
     precision: str = "hybrid",
 ) -> float:
-    """Spin-orbital E(T) over the PRODUCTION (i, j-slab) islice grid,
+    """Spin-orbital E(T) over the PRODUCTION strict-triangle triple grid,
     sharded over the mesh axis — the multi-chip form of
-    triples_spinorb._triples_total (same kernel, same precision modes,
-    psum instead of a single-device fori_loop accumulator)."""
+    triples_spinorb._triples_total_strict (same chunk kernel, same
+    precision modes, psum instead of a single-device accumulator).  The
+    (0,0,0)-padded tail triples contribute exactly zero (strict_plan),
+    so devices holding only padding still psum correctly."""
     axis = mesh.axis_names[0]
     ndev = mesh.devices.size
-    assert nocc % jlen == 0
-    nslab = nocc // jlen
-    idx, w = _padded_grid(nocc * nslab, ndev)
+    nvirt = e_v.shape[0]
+    from ..methods.triples_spinorb import _pick_clen, strict_triple_list
+
+    ii, jj, kk = strict_triple_list(nocc)
+    total = len(ii)
+    if total == 0:
+        return 0.0
+    # equal whole-chunk shares: per-device count is the chunk-rounded
+    # ceiling of total/ndev, padded with zero-contribution (0,0,0)s
+    per_raw = -(-total // ndev)
+    clen = _pick_clen(nvirt, precision, per_raw)
+    per = -(-per_raw // clen) * clen
+    pad = np.zeros(per * ndev - total, dtype=np.int32)
+    ii, jj, kk = (np.concatenate([x, pad]) for x in (ii, jj, kk))
     # inputs may arrive sharded over a different (sub-)mesh — e.g. the
     # CC solve's divisor-fitted mesh; replicate them onto this one
     from jax.sharding import NamedSharding
@@ -79,33 +91,38 @@ def triples_total_sharded(
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(axis), P(axis)) + (P(),) * 7,
+        in_specs=(P(axis),) * 3 + (P(),) * 7,
         out_specs=P(),
     )
-    def worker(idx_l, w_l, t1, t2, vovv, ovoo, oovv, e_o, e_v):
-        args = (t1, t2, vovv, ovoo, oovv, e_o, e_v)
-
-        def body(k, acc):
-            ind = idx_l[k]
-            i0 = ind // nslab
-            j0 = (ind % nslab) * jlen
-            e = _islice_energy(
-                i0, j0, *args, jlen=jlen, precision=precision
+    def worker(ii_l, jj_l, kk_l, t1, t2, vovv, ovoo, oovv, e_o, e_v):
+        if precision in ("hybrid", "pallas"):
+            f32 = jnp.float32
+            t1, t2, vovv, ovoo, oovv = (
+                x.astype(f32) for x in (t1, t2, vovv, ovoo, oovv)
             )
-            return acc + w_l[k] * e
+        nchunk = ii_l.shape[0] // clen
+        iic = ii_l.reshape(nchunk, clen)
+        jjc = jj_l.reshape(nchunk, clen)
+        kkc = kk_l.reshape(nchunk, clen)
+
+        def body(c, acc):
+            return acc + _strict_chunk_energy(
+                iic[c], jjc[c], kkc[c],
+                t1, t2, vovv, ovoo, oovv, e_o, e_v, precision,
+            )
 
         # the carry must be device-varying under shard_map's manual-axes
         # typing (each shard accumulates its own partial)
         acc0 = jax.lax.pvary(jnp.float64(0.0), (axis,))
-        acc = jax.lax.fori_loop(0, idx_l.shape[0], body, acc0)
+        acc = jax.lax.fori_loop(0, nchunk, body, acc0)
         return jax.lax.psum(acc, axis)
 
     return float(
         worker(
-            jnp.asarray(idx), jnp.asarray(w),
+            jnp.asarray(ii), jnp.asarray(jj), jnp.asarray(kk),
             t1, t2, vovv, ovoo, oovv, e_o, e_v,
         )
-    )
+    ) / 6.0
 
 
 def triples_spatial_sharded(

@@ -73,7 +73,7 @@ def _prefetch_spinorb(
         paper_foo=equations == "paper", vvvv_split=precision in ("hybrid", "pallas")
     )
     # the triples stage resolves its own precision (do_ccsd_t_spinorb
-    # defaults to the Pallas finale on tpu/axon backends) — prefetch the
+    # defaults to the Pallas path on tpu/axon backends) — prefetch the
     # SAME variant or the compile happens again at production time
     t_prec = "pallas" if jax.default_backend() in ("tpu", "axon") else "hybrid"
 
@@ -91,15 +91,17 @@ def _prefetch_spinorb(
             nerr=nerr, maxiter=maxiter,
         ).compile()
         if triples:
-            from .methods.triples_spinorb import _pick_jlen, _triples_total
+            from .methods.triples_spinorb import _triples_total_strict, strict_plan
 
             nocc, nvirt = nel, 2 * nbasis - nel
-            jlen = _pick_jlen(nocc, nvirt, t_prec)
-            _triples_total.lower(
-                t1_s, t2_s, v_s.vovv, v_s.ovoo, v_s.oovv,
-                _sds((nocc,)), _sds((nvirt,)),
-                nocc=nocc, jlen=jlen, precision=t_prec,
-            ).compile()
+            ii, jj, kk, clen = strict_plan(nocc, nvirt, t_prec)
+            if len(ii):
+                isd = jax.ShapeDtypeStruct(ii.shape, jnp.int32)
+                _triples_total_strict.lower(
+                    t1_s, t2_s, v_s.vovv, v_s.ovoo, v_s.oovv,
+                    _sds((nocc,)), _sds((nvirt,)), isd, isd, isd,
+                    clen=clen, precision=t_prec,
+                ).compile()
         return
 
     eri = jnp.zeros((nbasis,) * 4)
@@ -118,24 +120,27 @@ def _prefetch_spinorb(
     int(n_iter)  # block until the executable is resident
 
     if triples:
-        from .methods.triples_spinorb import _pick_jlen, _triples_total
+        from .methods.triples_spinorb import _triples_total_strict, strict_plan
 
         nocc, nvirt = nel, 2 * nbasis - nel
-        jlen = _pick_jlen(nocc, nvirt, t_prec)
+        ii, jj, kk, clen = strict_plan(nocc, nvirt, t_prec)
         lv = jnp.concatenate([levels[:no_sp], levels[:no_sp], levels[no_sp:], levels[no_sp:]])
-        e_t = _triples_total(
-            t1,
-            t2,
-            v.vovv,
-            v.ovoo,
-            v.oovv,
-            lv[:nocc],
-            lv[nocc:],
-            nocc=nocc,
-            jlen=jlen,
-            precision=t_prec,
-        )
-        float(e_t)
+        if len(ii):
+            e_t = _triples_total_strict(
+                t1,
+                t2,
+                v.vovv,
+                v.ovoo,
+                v.oovv,
+                lv[:nocc],
+                lv[nocc:],
+                jnp.asarray(ii),
+                jnp.asarray(jj),
+                jnp.asarray(kk),
+                clen=clen,
+                precision=t_prec,
+            )
+            float(e_t)
 
 
 def _prefetch_spatial(

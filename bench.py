@@ -110,7 +110,8 @@ def bench_real(workdir: Path):
         spinorb_ccsd_iteration_flops(o, v, precision=cfg.ccsd_precision)
         * cc.iterations
     )
-    fl_t = spinorb_triples_flops(o, v)
+    fl_t = spinorb_triples_flops(o, v)          # algorithmic full-cube
+    fl_t_x = spinorb_triples_flops(o, v, strict=True)  # as executed
     return wall, {
         "e_ccsd": cc.e_ccsd,
         "e_ccsd_t": e_t,
@@ -120,12 +121,17 @@ def bench_real(workdir: Path):
         "cold_wall": ccsd_cold + t_cold,
         "ccsd_iters": cc.iterations,
         "ccsd_tflops": fl_ccsd / ccsd_wall / 1e12,
-        "t_tflops": fl_t / t_wall / 1e12,
-        "mfu_vs_bf16_peak": (fl_ccsd + fl_t) / wall / PEAK_BF16,
+        # effective throughput vs the algorithmic full-cube count (the
+        # strict-triangle grid executes ~8.3x fewer FLOPs; this is the
+        # apples-to-apples number against the reference's loop nest)
+        "t_tflops_effective": fl_t / t_wall / 1e12,
+        "t_tflops_executed": fl_t_x / t_wall / 1e12,
+        "mfu_vs_bf16_peak": (fl_ccsd + fl_t_x) / wall / PEAK_BF16,
         # the honest utilization denominators: measured f64-emulation and
-        # f32 ceilings on THIS chip (see flops.py for the measurement)
+        # f32 ceilings on THIS chip (see flops.py for the measurement),
+        # with executed (not algorithmic) FLOPs in the numerator
         "ccsd_util_vs_f64_ceiling": fl_ccsd / ccsd_wall / MEASURED_F64,
-        "t_util_vs_f32_ceiling": fl_t / t_wall / MEASURED_F32,
+        "t_util_vs_f32_ceiling": fl_t_x / t_wall / MEASURED_F32,
         "ok": ok_ccsd and ok_t,
     }
 

@@ -110,17 +110,25 @@ def test_sharded_triples_matches_single(sample_data, tmp_path):
     )
     assert abs(e_sharded - e_single) < 1e-12
 
-    # and the PRODUCTION (i, j-slab) islice path, sharded
-    from afesp_tpu.methods.triples_spinorb import _triples_total
+    # and the PRODUCTION strict-triangle path, single-device + sharded
+    from afesp_tpu.methods.triples_spinorb import (
+        _triples_total_strict,
+        strict_plan,
+    )
     from afesp_tpu.parallel.triples_shard import triples_total_sharded
 
     args = (t1, t2, slices.vovv, slices.ovoo, slices.oovv, e_o, e_v)
-    e_prod = float(_triples_total(*args, nocc=nocc, jlen=5, precision="f64"))
-    e_prod_sh = triples_total_sharded(
-        mesh, *args, nocc=nocc, jlen=5, precision="f64"
+    si, sj, sk, clen = strict_plan(nocc, len(e_v), "f64")
+    e_prod = float(
+        _triples_total_strict(
+            *args,
+            jnp.asarray(si), jnp.asarray(sj), jnp.asarray(sk),
+            clen=clen, precision="f64",
+        )
     )
+    e_prod_sh = triples_total_sharded(mesh, *args, nocc=nocc, precision="f64")
     assert abs(e_prod - e_single) < 1e-10
-    assert abs(e_prod_sh - e_prod) < 1e-12
+    assert abs(e_prod_sh - e_prod) < 1e-11
 
 
 def test_sharded_fused_solve_matches_unsharded():

@@ -38,20 +38,27 @@ def main():
 
     from afesp_tpu.config import read_els_in
     from afesp_tpu.io import dat
-    from afesp_tpu.methods.hf import do_rhf
-    from afesp_tpu.methods.mp2 import ao_to_mo
+    from afesp_tpu.methods import hf as hf_mod
+    from afesp_tpu.methods import mp2 as mp2_mod
     from afesp_tpu.methods.ccsd_spinorb import do_ccsd_spinorb
     from afesp_tpu.methods import triples_spinorb as T
     from afesp_tpu import flops
 
+    import shutil
+    import tempfile
+
     fixture = Path("/root/reference/sample_data/h2o-cc-pvtz/2.00_104.45")
     eri = REPO / "data" / "h2o-cc-pvtz" / "eri.dat"
-    cfg = read_els_in(fixture / "els.in")
+    workdir = Path(tempfile.mkdtemp())
+    for f in ("s.dat", "t.dat", "v.dat", "geom.dat", "els.in"):
+        shutil.copy(fixture / f, workdir / f)
+    shutil.copy(eri, workdir / "eri.dat")
+    cfg = read_els_in(workdir)
     cfg.calc_type = "CCSD(T)_spinorb"
-    sys_ = dat.read_integrals(eri if eri.exists() else fixture / "eri.dat", cfg)
-    hf = do_rhf(sys_, cfg)
-    mo = ao_to_mo(sys_, hf, cfg)
-    cc = do_ccsd_spinorb(sys_, mo, hf, cfg)
+    sys_, ints = dat.read_integrals(workdir, cfg.restricted)
+    hf = hf_mod.do_rhf(sys_, ints, cfg, workdir=workdir)
+    mp2 = mp2_mod.do_mp2_spatial(sys_, ints, cfg, hf, workdir=workdir)
+    cc = do_ccsd_spinorb(sys_, mp2.eri_mo, cfg, hf, workdir=workdir)
 
     nocc, nvirt = sys_.nocc, sys_.nvirt
     from afesp_tpu.ops.spin import spinorb_levels
@@ -131,7 +138,22 @@ def main():
         print(f"{label:14s} {dt*1e3:9.1f} ms   (value {out:.6e})")
         return dt
 
-    # production full path
+    # production strict-triangle path (all precisions)
+    si, sj, sk, clen = T.strict_plan(nocc, nvirt, "pallas")
+    sidx = (jnp.asarray(si), jnp.asarray(sj), jnp.asarray(sk))
+    print(f"strict triples: {len(si)} (clen={clen})")
+    strict = timeit(
+        "strict-pallas",
+        partial(T._triples_total_strict, clen=clen, precision="pallas"),
+        *args, *sidx,
+    )
+    strict_h = timeit(
+        "strict-hybrid",
+        partial(T._triples_total_strict, clen=clen, precision="hybrid"),
+        *args, *sidx,
+    )
+
+    # legacy full-cube islice path
     full = timeit(
         "full",
         partial(T._triples_total, nocc=nocc, jlen=jlen, precision="pallas"),
@@ -176,7 +198,13 @@ def main():
     fin = timeit("finale-only", finale_loop, t3c, t3d, eo_sum, evf)
 
     fl = flops.spinorb_triples_flops(nocc, nvirt)
-    print(f"\nalgorithmic triples FLOPs: {fl:.3e}")
+    flx = flops.spinorb_triples_flops(nocc, nvirt, strict=True)
+    print(f"\nalgorithmic triples FLOPs: {fl:.3e}  executed (strict): {flx:.3e}")
+    print(
+        f"strict: {fl/strict/1e12:.1f} TF/s effective; "
+        f"{flx/strict/1e12:.1f} TF/s executed "
+        f"({flx/strict/103e12*100:.1f}% of f32 ceiling)"
+    )
     print(f"full: {fl/full/1e12:.1f} TF/s ({fl/full/103e12*100:.1f}% of f32 ceiling)")
     print(
         f"decomposition: gemm {gemm*1e3:.0f} (fsum {fsum*1e3:.0f} + msum {msum*1e3:.0f})"
