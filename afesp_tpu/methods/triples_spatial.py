@@ -74,6 +74,7 @@ def _xbar(x: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+@partial(jax.jit, static_argnames=("nocc", "precision"))
 def cr_intermediates(
     t1, t2, t1_prev, t2_prev, v: Slices, nocc: int, precision: str = "f64"
 ):
@@ -86,7 +87,7 @@ def cr_intermediates(
     tensors feed the m3 GEMMs, which run f32 in hybrid mode anyway; the
     end-to-end effect on all six variant energies is <1e-8 on the N2
     golden (tests/test_triples_spatial.py)."""
-    if precision in ("hybrid", "pallas"):
+    if precision in ("hybrid", "pallas", "fused"):
         f32 = jnp.float32
         t1, t2 = t1.astype(f32), t2.astype(f32)
         t1_prev, t2_prev = t1_prev.astype(f32), t2_prev.astype(f32)
@@ -354,6 +355,41 @@ def _islice_terms(
 _SUM_KEYS = ("e_T", "e_TT", "D_T", "D_TT", "e_CR", "e_CRT")
 
 
+def strict_spatial_plan(nocc: int):
+    """Sorted occupied triples i<=j<=k with their S3-orbit weights.
+
+    The spatial triples summands are NOT (i,j,k)-diagonal-free (unlike
+    the spin-orbital case), but every one of the six xbar-style
+    reductions satisfies the exact orbit identity
+
+        sum_{sigma in S3} e(sigma(i,j,k)) = sum_abc w3 (.) M(u3),
+        M = 8 I - 4 (T_ab+T_ac+T_bc) + 2 (C+C^2),
+
+    because xbar's coefficients (4/3, -2, 2/3) conjugate into class
+    sums (validated to 3e-13 against _triples_total_spatial on random
+    data).  Summing sorted triples with weights 1 (distinct), 1/2 (two
+    equal), 1/6 (all equal) therefore reproduces the full-cube total
+    while cutting the executed panel work ~4.5x at nocc=10.
+
+    Returns (ii, jj, kk, w) padded to a multiple of 8 with zero-weight
+    entries."""
+    tri = [
+        (i, j, k)
+        for i in range(nocc)
+        for j in range(i, nocc)
+        for k in range(j, nocc)
+    ]
+    w = [
+        1.0 if i < j < k else (1.0 / 6.0 if i == j == k else 0.5)
+        for (i, j, k) in tri
+    ]
+    pad = (-len(tri)) % 8
+    tri += [(0, 0, 0)] * pad
+    w += [0.0] * pad
+    a = np.asarray(tri, dtype=np.int32)
+    return a[:, 0], a[:, 1], a[:, 2], np.asarray(w)
+
+
 @partial(
     jax.jit,
     static_argnames=("nocc", "jlen", "doing_T", "doing_R", "doing_CR", "precision"),
@@ -412,6 +448,25 @@ def _triples_total_spatial(
     return jax.lax.fori_loop(0, nocc * nslab, body, init)
 
 
+def pick_spatial_jlen(
+    nocc: int, nvirt: int, precision: str, i_block: int = 0
+) -> int:
+    """j-slab length for the islice grid: bounds the ~(6..20) live
+    (jlen*o*v^3) panel transients to ~8 GB.  In f64 mode each element
+    effectively costs ~40 B: the emulated f64 dots decompose
+    operands/outputs into f32 limb arrays ~4x the f64 bytes on top of
+    the tensor itself (measured: jlen=5 at 116 bf compiled to a 22.9 GB
+    program).  Hybrid f32 GEMM panels cost ~12 B/el (f32 GEMM + f64 t3).
+    The fused loop needs jlen | nocc.  "pallas" never materialises
+    z3/y/t_bar in HBM, so its live-transient cost per element is lower
+    than "hybrid"."""
+    el = {"hybrid": 12, "pallas": 8}.get(precision, 40)
+    if i_block > 0:
+        return max(d for d in range(1, min(i_block, nocc) + 1) if nocc % d == 0)
+    budget = max(1, min(nocc, int(8e9 / (20 * el * nocc * nvirt**3) + 1)))
+    return max(d for d in range(1, budget + 1) if nocc % d == 0)
+
+
 def do_ccsd_t_spatial(
     sys_: dat.System,
     cc: CCSDResult,
@@ -420,18 +475,23 @@ def do_ccsd_t_spatial(
     rep: Reporter | None = None,
     i_block: int = 0,
     mesh=None,
+    precision: str | None = None,
 ) -> TriplesResult:
     rep = rep or Reporter()
     rep.section("CCSD(T)")
     t_start = time.perf_counter()
 
-    precision = cfg.ccsd_precision
-    if precision == "hybrid" and jax.default_backend() in ("tpu", "axon"):
-        # TPU default: upgrade "hybrid" to the fused VMEM finale — same
-        # f32 GEMM panels, strictly less HBM traffic, validated ≤1e-8 vs
-        # f64 (tests/test_triples_spatial.py).  An explicit
-        # ccsd_precision="f64" is respected (full-f64 triples).
-        precision = "pallas"
+    if precision is None:
+        precision = cfg.ccsd_precision
+        if precision == "hybrid" and jax.default_backend() in ("tpu", "axon"):
+            # TPU default: upgrade "hybrid" to the fused VMEM finale —
+            # same f32 GEMM panels, strictly less HBM traffic, validated
+            # <=1e-8 vs f64 (tests/test_triples_spatial.py).  An explicit
+            # ccsd_precision="f64" is respected (full-f64 triples).
+            # (The sorted-triples precision="fused" kernel is ~4.5x less
+            # panel work again; it becomes the default once hardware-
+            # validated — tracked in bench_large.)
+            precision = "pallas"
 
     nocc, nvirt = sys_.nocc, sys_.nvirt
     doing_T = cfg.ccsd_t_paren
@@ -446,31 +506,34 @@ def do_ccsd_t_spatial(
 
     if doing_CR:
         I_vovv_pp, I_ooov_pp = cr_intermediates(
-            t1, t2, jnp.asarray(cc.t1_prev), jnp.asarray(cc.t2_prev), v, nocc,
-            precision=precision,
+            t1, t2, jnp.asarray(cc.t1_prev), jnp.asarray(cc.t2_prev), v,
+            nocc=nocc, precision=precision,
         )
     else:
         I_vovv_pp = jnp.zeros((nvirt, nocc, nvirt, nvirt))
         I_ooov_pp = jnp.zeros((nocc, nocc, nocc, nvirt))
 
-    # j-slab length bounds the ~(6..20) live (jlen*o*v^3) panel transients
-    # to ~8 GB.  In f64 mode each element effectively costs ~40 B: the
-    # emulated f64 dots decompose operands/outputs into f32 limb arrays
-    # ~4x the f64 bytes on top of the tensor itself (measured: jlen=5 at
-    # 116 bf compiled to a 22.9 GB program).  Hybrid f32 GEMM panels cost
-    # ~12 B/el (f32 GEMM + f64 t3).  The fused loop needs jlen | nocc.
-    # "pallas" never materialises z3/y/t_bar in HBM, so its live-transient
-    # cost per element is lower than "hybrid"
-    el = {"hybrid": 12, "pallas": 8}.get(precision, 40)
-    if i_block > 0:
-        jlen = max(d for d in range(1, min(i_block, nocc) + 1) if nocc % d == 0)
-    else:
-        budget = max(1, min(nocc, int(8e9 / (20 * el * nocc * nvirt**3) + 1)))
-        jlen = max(d for d in range(1, budget + 1) if nocc % d == 0)
+    jlen = pick_spatial_jlen(nocc, nvirt, precision, i_block)
 
     targs = (t1, t2, v.v_vvov, v.v_oovo, v.v_oovv, e_o, e_v,
              I_vovv_pp, I_ooov_pp)
-    if mesh is not None:
+    if precision == "fused" and mesh is None:
+        # sorted-triples fully-fused kernel (ops/triples_pallas)
+        from ..ops.triples_pallas import triples_fused_spatial
+
+        si, sj, sk, w = strict_spatial_plan(nocc)
+        partials = triples_fused_spatial(
+            *targs,
+            jnp.asarray(si), jnp.asarray(sj), jnp.asarray(sk),
+            has_m=doing_CR,
+        )
+        s = jnp.sum(
+            partials[: len(si), :6].astype(jnp.float64)
+            * jnp.asarray(w)[:, None],
+            axis=0,
+        )
+        totals = (s[0], s[0] + s[1], s[2], s[2] + s[3], s[4], s[4] + s[5])
+    elif mesh is not None:
         # multi-chip: the SAME (i, j-slab) slab kernel, shard_map'd over
         # the mesh with psum (parallel/triples_shard.py)
         from ..parallel.triples_shard import triples_spatial_sharded
@@ -478,7 +541,7 @@ def do_ccsd_t_spatial(
         totals = triples_spatial_sharded(
             mesh, *targs, nocc=nocc, jlen=jlen,
             doing_T=doing_T, doing_R=doing_R, doing_CR=doing_CR,
-            precision=precision,
+            precision="pallas" if precision == "fused" else precision,
         )
     else:
         totals = _triples_total_spatial(

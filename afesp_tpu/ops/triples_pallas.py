@@ -410,6 +410,364 @@ def _fused_kernel(o: int, v: int, vp: int, mp: int):
     return kernel
 
 
+# Static term tables for the fused spatial kernel: the twelve joint
+# (occ,virt) permutations of the two base contractions (ccsd.f90:2168-
+# 2173 / 2188-2193).  Each entry: (lhs pair roles, rhs third role, axes
+# permutation applied to the raw dot output before accumulation).
+# Roles: 0=i, 1=j, 2=k.  Derivation in tools/ + validated to 3e-13
+# against _triples_total_spatial on random data.
+_ID = (0, 1, 2)
+_SPATIAL_F_TERMS = (  # lhs t2[p,q] (a,f) @ rhs VvF/IvF[r] (f, b*c)
+    ((0, 1), 2, _ID),
+    ((1, 0), 2, (1, 0, 2)),
+    ((2, 1), 0, (2, 1, 0)),
+    ((0, 2), 1, (0, 2, 1)),
+    ((1, 2), 0, (2, 0, 1)),
+    ((2, 0), 1, (1, 2, 0)),
+)
+_SPATIAL_M_TERMS = (  # lhs VoL[r,q] (c,m) @ rhs t2M2[x] (m, b*a), sign -1
+    ((2, 1), 0, (1, 2, 0)),
+    ((2, 0), 1, (2, 1, 0)),
+    ((0, 1), 2, (0, 2, 1)),
+    ((1, 2), 0, (1, 0, 2)),
+    ((0, 2), 1, _ID),
+    ((1, 0), 2, (2, 0, 1)),
+)
+_SPATIAL_M3M_TERMS = (  # lhs JoT[p,q] (c,m) @ rhs t2M2[x] (m, b*a), sign -1
+    ((1, 2), 0, (1, 2, 0)),
+    ((0, 2), 1, (2, 1, 0)),
+    ((1, 0), 2, (0, 2, 1)),
+    ((2, 1), 0, (1, 0, 2)),
+    ((2, 0), 1, _ID),
+    ((0, 1), 2, (2, 0, 1)),
+)
+_T2A_PAIRS = ((0, 1), (1, 0), (2, 1), (0, 2), (1, 2), (2, 0))
+_VOL_PAIRS = tuple(t[0] for t in _SPATIAL_M_TERMS)
+_JOT_PAIRS = tuple(t[0] for t in _SPATIAL_M3M_TERMS)
+_WVV_PAIRS = ((1, 2), (0, 2), (0, 1))
+
+
+def _fused_spatial_kernel(o: int, v: int, vp: int, mp: int, has_m: bool):
+    """Kernel body for triples_fused_spatial.
+
+    Per sorted triple (i<=j<=k): the 12 t3_D dots (6 f-type K=v, 6
+    m-type K=o) and, for CR, the 12 m3 dots accumulate VMEM-resident
+    (vp,vp,vp) panels via transposed adds; t3=t3_D/D and z3 are built
+    plane-wise; the conjugacy-class operator
+
+        M = 8 I - 4 (T_ab + T_ac + T_bc) + 2 (C + C^2)
+
+    turns the full-cube xbar reductions into sorted-triple ones
+    (sum_{S3 orbit} e = sum w3 (.) M(u3), exact — see
+    methods/triples_spatial.strict_spatial_plan), and the six sums
+
+        s0 = t3_D.Mt3  s1 = t3_D.Mz3  s2 = y.Mt3
+        s3 = y.Mz3     s4 = m3.Mt3    s5 = m3.Mz3
+
+    reduce per a-plane.  The big VvF/IvF operands stay in HBM and are
+    manually DMA'd into single-buffered scratch only when their
+    occupied index changes (auto double-buffering of six 8.4 MB blocks
+    would not fit VMEM next to the five panel scratches)."""
+    f32 = jnp.float32
+    n_fetch = 6 if has_m else 3
+
+    def kernel(*refs):
+        (ii_ref, jj_ref, kk_ref, eo_ref, ev_ref, t1_ref) = refs[:6]
+        pos = 6
+        t2a = refs[pos : pos + 6]; pos += 6
+        vol = refs[pos : pos + 6]; pos += 6
+        if has_m:
+            jot = refs[pos : pos + 6]; pos += 6
+        t2m = refs[pos : pos + 3]; pos += 3
+        wvv = refs[pos : pos + 3]; pos += 3
+        t1v_ref = refs[pos]; pos += 1
+        dvv_ref = refs[pos]; pos += 1
+        vvf_hbm = refs[pos]; pos += 1
+        if has_m:
+            ivf_hbm = refs[pos]; pos += 1
+        out_ref = refs[pos]; pos += 1
+        # scratch
+        t3d_s, m3_s, wk_s, mt_s, mz_s = refs[pos : pos + 5]; pos += 5
+        fet = refs[pos : pos + n_fetch]; pos += n_fetch
+        sems = refs[pos]
+
+        p = pl.program_id(0)
+        row = jax.lax.rem(p, jnp.int32(8))
+
+        @pl.when(row == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        idx = (ii_ref[p], jj_ref[p], kk_ref[p])
+
+        # ---- gated manual DMA: VvF[i/j/k] (and IvF) -> VMEM ----
+        pm = jnp.maximum(p - 1, 0)
+        prev = (ii_ref[pm], jj_ref[pm], kk_ref[pm])
+
+        started = []
+        for slot in range(n_fetch):
+            which = slot % 3
+            hbm = vvf_hbm if slot < 3 else ivf_hbm
+            changed = jnp.logical_or(p == 0, idx[which] != prev[which])
+            dma = pltpu.make_async_copy(
+                hbm.at[idx[which]], fet[slot], sems.at[slot]
+            )
+            @pl.when(changed)
+            def _(dma=dma):
+                dma.start()
+            started.append((changed, dma))
+        for changed, dma in started:
+            @pl.when(changed)
+            def _(dma=dma):
+                dma.wait()
+
+        def dot2(a, b):
+            return jax.lax.dot_general(
+                a, b, (((1,), (0,)), ((), ())), preferred_element_type=f32
+            )
+
+        # ---- t3_D: 12 transposed-dot accumulations ----
+        first = True
+        for t, ((pa, pb), r, perm) in enumerate(_SPATIAL_F_TERMS):
+            raw = dot2(t2a[t][0, 0], fet[r][:]).reshape(vp, vp, vp)
+            raw = raw if perm == _ID else jnp.transpose(raw, perm)
+            if first:
+                t3d_s[:] = raw
+                first = False
+            else:
+                t3d_s[:] += raw
+        for t, ((pa, pb), r, perm) in enumerate(_SPATIAL_M_TERMS):
+            raw = dot2(vol[t][0, 0], t2m[r][0]).reshape(vp, vp, vp)
+            raw = raw if perm == _ID else jnp.transpose(raw, perm)
+            t3d_s[:] += -raw
+
+        if has_m:
+            first = True
+            for t, ((pa, pb), r, perm) in enumerate(_SPATIAL_F_TERMS):
+                raw = dot2(t2a[t][0, 0], fet[3 + r][:]).reshape(vp, vp, vp)
+                raw = raw if perm == _ID else jnp.transpose(raw, perm)
+                if first:
+                    m3_s[:] = raw
+                    first = False
+                else:
+                    m3_s[:] += raw
+            for t, ((pa, pb), r, perm) in enumerate(_SPATIAL_M3M_TERMS):
+                raw = dot2(jot[t][0, 0], t2m[r][0]).reshape(vp, vp, vp)
+                raw = raw if perm == _ID else jnp.transpose(raw, perm)
+                m3_s[:] += -raw
+
+        dvv = dvv_ref[:]
+        eo = eo_ref[p]
+        i, j, k = idx
+
+        # ---- t3 = t3_D / D, plane-wise ----
+        def bt3(a, c):
+            d_a = (eo - ev_ref[a]) - dvv
+            wk_s[pl.ds(a, 1)] = t3d_s[pl.ds(a, 1)] / d_a[None]
+            return c
+
+        @pl.when(p == 0)
+        def _():
+            # planes a >= v are never written; zero once so M's
+            # whole-array transposes read zeros, not garbage
+            wk_s[:] = jnp.zeros_like(wk_s)
+
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(v), bt3, jnp.int32(0))
+
+        def build_M(dst):
+            dst[:] = jnp.float32(8.0) * wk_s[:]
+            dst[:] += jnp.float32(-4.0) * jnp.transpose(wk_s[:], (1, 0, 2))
+            dst[:] += jnp.float32(-4.0) * jnp.transpose(wk_s[:], (0, 2, 1))
+            dst[:] += jnp.float32(-4.0) * jnp.transpose(wk_s[:], (2, 1, 0))
+            dst[:] += jnp.float32(2.0) * jnp.transpose(wk_s[:], (2, 0, 1))
+            dst[:] += jnp.float32(2.0) * jnp.transpose(wk_s[:], (1, 2, 0))
+
+        build_M(mt_s)
+
+        # ---- z3 plane-wise into wk_s, then Mz ----
+        # z3[a,b,c] = (t1[i,a] W[j,k][b,c] + t1[j,b] W[i,k][a,c]
+        #              + t1[k,c] W[i,j][a,b]) / D  (Piecuch Eq. 60)
+        t1row_j = t1v_ref[pl.ds(j, 1), :]  # (1, vp)
+        t1row_k = t1v_ref[pl.ds(k, 1), :]
+
+        def bz3_full(a, c):
+            t1i = t1_ref[i * vp + a]
+            d_a = (eo - ev_ref[a]) - dvv
+            wik_a = wvv[1][0, 0, pl.ds(a, 1), :]          # W[i,k][a,:] (1,vp)
+            wij_a = wvv[2][0, 0, pl.ds(a, 1), :]          # W[i,j][a,:] (1,vp)
+            z = (
+                t1i * wvv[0][0, 0]
+                + jnp.transpose(t1row_j, (1, 0)) * wik_a   # t1[j,b] W[i,k][a,c]
+                + jnp.transpose(wij_a, (1, 0)) * t1row_k   # t1[k,c] W[i,j][a,b]
+            )
+            wk_s[pl.ds(a, 1)] = (z / d_a)[None]
+            return c
+
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(v), bz3_full, jnp.int32(0))
+        build_M(mz_s)
+
+        # ---- six reductions, plane-wise ----
+        jk_outer = jnp.transpose(t1row_j, (1, 0)) * t1row_k  # t1[j,b] t1[k,c]
+
+        def accb(a, acc):
+            s0, s1, s2, s3, s4, s5 = acc
+            sl = pl.ds(a, 1)
+            x = t3d_s[sl][0]
+            mt = mt_s[sl][0]
+            mz = mz_s[sl][0]
+            s0 = _ksum(s0, jnp.sum(x * mt))
+            s1 = _ksum(s1, jnp.sum(x * mz))
+            t1i = t1_ref[i * vp + a]
+            tik_a = t2a[3][0, 0, pl.ds(a, 1), :]   # t2[i,k][a,:] (1,vp)
+            tij_a = t2a[0][0, 0, pl.ds(a, 1), :]   # t2[i,j][a,:] (1,vp)
+            y = (
+                t1i * (jk_outer + t2a[4][0, 0])     # t1[i,a](t1jxt1k + t2[j,k])
+                + jnp.transpose(t1row_j, (1, 0)) * tik_a
+                + jnp.transpose(tij_a, (1, 0)) * t1row_k
+            )
+            s2 = _ksum(s2, jnp.sum(y * mt))
+            s3 = _ksum(s3, jnp.sum(y * mz))
+            if has_m:
+                m = m3_s[sl][0]
+                s4 = _ksum(s4, jnp.sum(m * mt))
+                s5 = _ksum(s5, jnp.sum(m * mz))
+            return (s0, s1, s2, s3, s4, s5)
+
+        z = jnp.float32(0.0)
+        sums = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(v), accb, ((z, z),) * 6
+        )
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        rowv = jnp.zeros((1, 128), f32)
+        for n, (s, c) in enumerate(sums):
+            rowv = jnp.where(lane == jnp.int32(n), s + c, rowv)
+        out_ref[pl.ds(row, 1), :] = rowv
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("has_m", "interpret"))
+def triples_fused_spatial(
+    t1, t2, v_vvov, v_oovo, v_oovv, e_o, e_v, Iv, Jo, ii, jj, kk,
+    *, has_m: bool, interpret: bool | None = None
+):
+    """Fully-fused spatial triples over sorted (i<=j<=k) triples.
+
+    Returns the six raw per-kernel sums stacked as a (rows, 128) f32
+    array (lanes 0..5 = s0..s5 per triple row); the caller applies the
+    f64 orbit weights (1, 1/2, 1/6) and sums.  See
+    _fused_spatial_kernel for the math; requires nvirt <= 128."""
+    o, v = t1.shape
+    assert v <= 128, "triples_fused_spatial requires nvirt <= 128"
+    vp, mp = 128, -(-o // 8) * 8
+    if interpret is None:
+        interpret = not _on_tpu()
+    f32 = jnp.float32
+    pv, po = vp - v, mp - o
+
+    t2f = t2.astype(f32)
+    t2a = jnp.pad(t2f, ((0, 0), (0, 0), (0, pv), (0, pv)))
+    t2M2 = jnp.pad(
+        t2f.transpose(1, 0, 3, 2), ((0, 0), (0, po), (0, pv), (0, pv))
+    ).reshape(o, mp, vp * vp)
+    VvF = jnp.pad(
+        v_vvov.astype(f32).transpose(2, 3, 1, 0),
+        ((0, 0), (0, pv), (0, pv), (0, pv)),
+    ).reshape(o, vp, vp * vp)
+    VoL = jnp.pad(v_oovo.astype(f32), ((0, 0), (0, 0), (0, pv), (0, po)))
+    Wvv = jnp.pad(v_oovv.astype(f32), ((0, 0), (0, 0), (0, pv), (0, pv)))
+    if has_m:
+        IvF = jnp.pad(
+            Iv.astype(f32).transpose(1, 0, 2, 3),
+            ((0, 0), (0, pv), (0, pv), (0, pv)),
+        ).reshape(o, vp, vp * vp)
+        JoT = jnp.pad(
+            Jo.astype(f32).transpose(0, 1, 3, 2),
+            ((0, 0), (0, 0), (0, pv), (0, po)),
+        )
+    t1v = jnp.pad(t1.astype(f32), ((0, 0), (0, pv)))
+    t1flat = t1v.reshape(-1)
+    evp = jnp.pad(e_v.astype(f32), (0, pv), constant_values=1e3)
+    dvv = evp[:, None] + evp[None, :]
+    eo_sum = (e_o[ii] + e_o[jj] + e_o[kk]).astype(f32)
+
+    C = ii.shape[0]
+    rows = -(-C // 8) * 8
+
+    def pair_map(pa, pb):
+        return lambda p, ii, jj, kk, *_: (
+            (ii, jj, kk)[pa][p], (ii, jj, kk)[pb][p], 0, 0
+        )
+
+    def third_map(r):
+        return lambda p, ii, jj, kk, *_: ((ii, jj, kk)[r][p], 0, 0)
+
+    bs4 = lambda im: pl.BlockSpec((1, 1, vp, vp), im, memory_space=pltpu.VMEM)
+    bsO = lambda im: pl.BlockSpec((1, 1, vp, mp), im, memory_space=pltpu.VMEM)
+    bsM = lambda im: pl.BlockSpec((1, mp, vp * vp), im, memory_space=pltpu.VMEM)
+
+    in_specs = []
+    inputs = []
+    # t2a lhs pair blocks (order = _SPATIAL_F_TERMS lhs pairs)
+    for t, ((pa, pb), r, perm) in enumerate(_SPATIAL_F_TERMS):
+        in_specs.append(bs4(pair_map(pa, pb)))
+        inputs.append(t2a)
+    for (pa, pb) in _VOL_PAIRS:
+        in_specs.append(bsO(pair_map(pa, pb)))
+        inputs.append(VoL)
+    if has_m:
+        for (pa, pb) in _JOT_PAIRS:
+            in_specs.append(bsO(pair_map(pa, pb)))
+            inputs.append(JoT)
+    for r in range(3):
+        in_specs.append(bsM(third_map(r)))
+        inputs.append(t2M2)
+    for (pa, pb) in _WVV_PAIRS:
+        in_specs.append(bs4(pair_map(pa, pb)))
+        inputs.append(Wvv)
+    in_specs.append(
+        pl.BlockSpec((o, vp), lambda p, *_: (0, 0), memory_space=pltpu.VMEM)
+    )
+    inputs.append(t1v)
+    in_specs.append(
+        pl.BlockSpec((vp, vp), lambda p, *_: (0, 0), memory_space=pltpu.VMEM)
+    )
+    inputs.append(dvv)
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+    inputs.append(VvF)
+    if has_m:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        inputs.append(IvF)
+
+    n_fetch = 6 if has_m else 3
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,  # ii, jj, kk, eo_sum, evp, t1flat
+        grid=(C,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (8, 128), lambda p, *_: (p // 8, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((vp, vp, vp), f32)] * 5
+        + [pltpu.VMEM((vp, vp * vp), f32)] * n_fetch
+        + [pltpu.SemaphoreType.DMA((n_fetch,))],
+    )
+    with jax.enable_x64(False):
+        partials = pl.pallas_call(
+            _fused_spatial_kernel(o, v, vp, mp, has_m),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((rows, 128), f32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=128 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(
+            ii.astype(jnp.int32), jj.astype(jnp.int32), kk.astype(jnp.int32),
+            eo_sum, evp, t1flat,
+            *inputs,
+        )
+    return partials
+
+
 @partial(jax.jit, static_argnames=("interpret",))
 def triples_fused(
     t1, t2, vovv, ovoo, oovv, e_o, e_v, ii, jj, kk, *, interpret: bool | None = None

@@ -144,8 +144,15 @@ def _prefetch_spinorb(
 
 
 def _prefetch_spatial(
-    nbasis: int, nel: int, nerr: int, maxiter: int, precision: str = "f64"
+    nbasis: int,
+    nel: int,
+    nerr: int,
+    maxiter: int,
+    precision: str = "f64",
+    triples: bool = False,
+    t_flags: tuple = (False, False, False),  # (doing_T, doing_R, doing_CR)
 ):
+    doing_cr = t_flags[2]
     import jax
     import jax.numpy as jnp
 
@@ -154,6 +161,63 @@ def _prefetch_spatial(
 
     nocc = nel // 2
     solver = get_spatial_solver(vvvv_split=precision in ("hybrid", "pallas"))
+
+    def _prefetch_spatial_triples():
+        # AOT-compile the production triples programs so the (T) stage
+        # doesn't pay its XLA compile inline — same precision resolution
+        # as do_ccsd_t_spatial
+        nvirt = nbasis - nocc
+        t_prec = precision
+        if t_prec == "hybrid" and jax.default_backend() in ("tpu", "axon"):
+            t_prec = "pallas"
+        if doing_cr:
+            from .methods.triples_spatial import cr_intermediates
+            from .methods.ccsd_spatial import Slices
+
+            dim = {"o": nocc, "v": nvirt}
+            v_s = Slices(*[
+                _sds(tuple(dim[c] for c in name.split("_")[1]))
+                for name in Slices._fields
+            ])
+            cr_intermediates.lower(
+                _sds((nocc, nvirt)), _sds((nocc, nocc, nvirt, nvirt)),
+                _sds((nocc, nvirt)), _sds((nocc, nocc, nvirt, nvirt)),
+                v_s, nocc=nocc, precision=t_prec,
+            ).compile()
+        shapes = (
+            _sds((nocc, nvirt)),
+            _sds((nocc, nocc, nvirt, nvirt)),
+            _sds((nvirt, nvirt, nocc, nvirt)),
+            _sds((nocc, nocc, nvirt, nocc)),
+            _sds((nocc, nocc, nvirt, nvirt)),
+            _sds((nocc,)), _sds((nvirt,)),
+            _sds((nvirt, nocc, nvirt, nvirt)),
+            _sds((nocc, nocc, nocc, nvirt)),
+        )
+        if t_prec == "fused":
+            from .methods.triples_spatial import strict_spatial_plan
+            from .ops.triples_pallas import triples_fused_spatial
+
+            si, sj, sk, _w = strict_spatial_plan(nocc)
+            isd = jax.ShapeDtypeStruct(si.shape, jnp.int32)
+            triples_fused_spatial.lower(
+                *shapes, isd, isd, isd,
+                has_m=doing_cr,
+                interpret=jax.default_backend() not in ("tpu", "axon"),
+            ).compile()
+        else:
+            from .methods.triples_spatial import (
+                _triples_total_spatial,
+                pick_spatial_jlen,
+            )
+
+            jlen = pick_spatial_jlen(nocc, nvirt, t_prec)
+            _triples_total_spatial.lower(
+                *shapes,
+                nocc=nocc, jlen=jlen,
+                doing_T=t_flags[0], doing_R=t_flags[1], doing_CR=t_flags[2],
+                precision=t_prec,
+            ).compile()
 
     if nbasis > _AOT_NBASIS:
         eri_s, lv_s = _sds((nbasis,) * 4), _sds((nbasis,))
@@ -168,6 +232,8 @@ def _prefetch_spatial(
             state_s, v_s, D_ia_s, D_ijab_s, v_s.v_oovv, e0_s, sc, sc,
             nerr=nerr, maxiter=maxiter,
         ).compile()
+        if triples:
+            _prefetch_spatial_triples()
         return
 
     eri = jnp.zeros((nbasis,) * 4)
@@ -180,6 +246,8 @@ def _prefetch_spatial(
         jnp.float64(np.inf), jnp.float64(np.inf), nerr=nerr, maxiter=maxiter
     )
     int(n_iter)
+    if triples:
+        _prefetch_spatial_triples()
 
 
 def start(sys_, cfg) -> None:
@@ -198,6 +266,12 @@ def start(sys_, cfg) -> None:
                     cfg.ccsd_diis_n_errmat,
                     cfg.ccsd_maxiter,
                     cfg.ccsd_precision,
+                    triples=cfg.wants_triples,
+                    t_flags=(
+                        cfg.ccsd_t_paren,
+                        cfg.ccsd_t_renorm,
+                        cfg.ccsd_t_comp_renorm,
+                    ),
                 )
             else:
                 _prefetch_spinorb(

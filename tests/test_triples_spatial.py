@@ -84,6 +84,23 @@ def test_triples_spatial_pallas_matches_f64(sample_data, tmp_path):
     assert abs(trp.D_TT - tr64.D_TT) < 1e-6
 
 
+def test_triples_spatial_fused_matches_f64(sample_data, tmp_path):
+    """precision='fused' (sorted-triples M-operator kernel: the 24
+    numerator GEMMs AND the finale run VMEM-resident per i<=j<=k triple,
+    ops/triples_pallas.triples_fused_spatial) must reproduce the f64
+    spatial triples within the 1e-8 contract on every variant."""
+    sys_, ints, cfg, hf, mp2, cc, _ = run_pipeline(
+        sample_data, tmp_path, "n2-cc-pvdz/2.00_0.00"
+    )
+    tr64 = do_ccsd_t_spatial(sys_, cc, cfg, hf.levels)
+    trf = do_ccsd_t_spatial(sys_, cc, cfg, hf.levels, precision="fused")
+    for k in ("e_ccsd_t", "e_ccsd_tt", "e_rccsd_t", "e_rccsd_tt",
+              "e_crccsd_t", "e_crccsd_tt"):
+        assert abs(getattr(trf, k) - getattr(tr64, k)) < 1e-8, k
+    assert abs(trf.D_T - tr64.D_T) < 1e-6
+    assert abs(trf.D_TT - tr64.D_TT) < 1e-6
+
+
 def test_plain_paren_t_bug_compat_flag(sample_data, tmp_path):
     """Plain CCSD(T)_spatial bit-parity documentation (VERDICT r1 item
     8): the reference only forms z3_bar for renormalised variants
