@@ -141,9 +141,17 @@ class HybridConsts(NamedTuple):
     vvvv_ab: tuple
     ovvv_ef: tuple  # <ma||ef> keyed (ef, ma) for the G intermediate
     oovv_me: tuple  # <mn||ef> keyed (me, nf) for the W_mbej tau term
+    # pre-digitized (bf16 chunk list, scale) loop-constant operands of
+    # the exact-digit-GEMM contractions (ops/exact_gemm.prechunk_*) —
+    # digitizing them in-loop costs ~10 elementwise passes/iteration
+    oovv_mn_dig: tuple  # <mn||ef> keyed (mn, ef) for W_oooo
+    ovvv_mbe_dig: tuple  # <mb||ef> keyed (mbe, f) for W_ovvo
+    vovv_e_dig: tuple  # <ej||ab> keyed (e, jab) for the T2 t1*vovv term
 
 
 def presplit_consts(v: SpinSlices, kc: int = 64) -> HybridConsts:
+    from ..ops.exact_gemm import prechunk_A, prechunk_B
+
     nv = v.vvvv.shape[0]
     vs = nv // 2
     A, B = slice(0, vs), slice(vs, None)
@@ -158,6 +166,9 @@ def presplit_consts(v: SpinSlices, kc: int = 64) -> HybridConsts:
         oovv_me=_chunk_A(
             jnp.transpose(v.oovv, (0, 2, 1, 3)).reshape(no * nv, no * nv), kc
         ),
+        oovv_mn_dig=prechunk_A(v.oovv.reshape(no * no, nv * nv)),
+        ovvv_mbe_dig=prechunk_A(v.ovvv.reshape(no * nv * nv, nv)),
+        vovv_e_dig=prechunk_B(v.vovv.reshape(nv, no * nv * nv)),
     )
 
 
@@ -252,6 +263,30 @@ def _iteration_core(
         hs = exact_einsum
     else:
         hs = bs
+    # pre-digitized variants of the hs contractions whose ERI operand is
+    # a loop constant (digits built once per solve in presplit_consts)
+    dig = vvvv_split and consts is not None
+    if dig:
+        from ..ops.exact_gemm import exact_gemm
+
+        no, nv = t1.shape
+
+        def hs_oooo(tau):
+            return exact_gemm(
+                B=jnp.transpose(tau, (2, 3, 0, 1)).reshape(nv * nv, no * no),
+                A_pre=consts.oovv_mn_dig, maxdeg=5,
+            ).reshape(no, no, no, no)
+
+        def hs_mbej(t1_):
+            return exact_gemm(
+                B=jnp.transpose(t1_, (1, 0)), A_pre=consts.ovvv_mbe_dig,
+                maxdeg=5,
+            ).reshape(no, nv, nv, no)
+
+        def hs_t1vovv(t1_):
+            return exact_gemm(
+                A=t1_, B_pre=consts.vovv_e_dig, maxdeg=5
+            ).reshape(no, no, nv, nv)
 
     # -------- tau / tau~ (ccsd.f90:678-715) --------
     x = es("ia,jb->ijab", t1, t1)
@@ -289,7 +324,7 @@ def _iteration_core(
         v.oooo
         + w1
         - jnp.transpose(w1, (0, 1, 3, 2))
-        + 0.5 * hs("mnef,ijef->mnij", v.oovv, tau)
+        + 0.5 * (hs_oooo(tau) if dig else hs("mnef,ijef->mnij", v.oovv, tau))
     )
     # W_abef (Eq. 7) is NOT materialised: its three contributions to the
     # T2 equation are fused below so no O(v^4) temporary beyond the
@@ -303,7 +338,7 @@ def _iteration_core(
         w4 = bs("mnef,jnfb->mbej", v.oovv, Z)
     W_ovvo = (
         v.ovvo
-        + hs("mbef,jf->mbej", v.ovvv, t1)
+        + (hs_mbej(t1) if dig else hs("mbef,jf->mbej", v.ovvv, t1))
         + es("nb,nmej->mbej", t1, v.oovo)
         - w4
     )
@@ -336,7 +371,7 @@ def _iteration_core(
     tmp_t2 -= 0.5 * (s - jnp.transpose(s, (0, 1, 3, 2)))
     s = es("ie,me,mjab->ijab", t1, F_ov, t2)
     tmp_t2 -= 0.5 * (s - jnp.transpose(s, (1, 0, 2, 3)))
-    s = hs("ie,ejab->ijab", t1, v.vovv)
+    s = hs_t1vovv(t1) if dig else hs("ie,ejab->ijab", t1, v.vovv)
     tmp_t2 += s - jnp.transpose(s, (1, 0, 2, 3))
     s = es("ijbm,ma->ijab", v.oovo, t1)
     tmp_t2 += s - jnp.transpose(s, (0, 1, 3, 2))

@@ -71,6 +71,44 @@ def digitize_B(B, L: int = 7):
 _MAX_K_F32 = 2**24 // (2 ** (2 * _Q + 1))  # 512, with 1 bit of slack
 
 
+def _chunk_geometry(K: int):
+    kc = min(K, _MAX_K_F32)
+    nc = -(-K // kc)
+    return kc, nc, nc * kc - K
+
+
+def prechunk_A(A, L: int = 4):
+    """Digitize + chunk an (M,K) lhs ONCE for repeated exact_gemm calls
+    with a loop-constant operand (e.g. ERI slices inside the CC
+    while_loop): returns (bf16 chunk list, row scale) for A_pre.
+    Re-deriving digits in-loop costs ~10 elementwise passes over the
+    f64 operand per iteration."""
+    Ad, sA = digitize_A(A, L)
+    M, K = A.shape
+    kc, nc, pad = _chunk_geometry(K)
+
+    def ch(a):
+        if pad:
+            a = jnp.pad(a, ((0, 0), (0, pad)))
+        return a.reshape(M, nc, kc).transpose(1, 0, 2).astype(jnp.bfloat16)
+
+    return [ch(a) for a in Ad], sA
+
+
+def prechunk_B(B, L: int = 4):
+    """(K,N) rhs analogue of prechunk_A; returns B_pre."""
+    Bd, sB = digitize_B(B, L)
+    K, N = B.shape
+    kc, nc, pad = _chunk_geometry(K)
+
+    def ch(b):
+        if pad:
+            b = jnp.pad(b, ((0, pad), (0, 0)))
+        return b.reshape(nc, kc, N).astype(jnp.bfloat16)
+
+    return [ch(b) for b in Bd], sB
+
+
 def exact_einsum(sub: str, A, B, L: int = 4, maxdeg: int = 5):
     """Two-operand einsum via exact_gemm (plain contractions only, same
     contract as split_gemm.split_einsum).  The L=4/maxdeg=5 default (6
@@ -95,8 +133,9 @@ def exact_einsum(sub: str, A, B, L: int = 4, maxdeg: int = 5):
     return jnp.transpose(C, [(fa + fb).index(c) for c in out])
 
 
-def exact_gemm(A=None, B=None, *, A_dig=None, B_dig=None, L: int = 7,
-               maxdeg: int = 8, digit_dtype=jnp.float32):
+def exact_gemm(A=None, B=None, *, A_dig=None, B_dig=None, A_pre=None,
+               B_pre=None, L: int = 7, maxdeg: int = 8,
+               digit_dtype=jnp.float32):
     """(M,K) @ (K,N) f64 to ~2^-49 of the row x col scale.
 
     A_dig/B_dig take pre-digitized (digits, scale) pairs for operands
@@ -105,15 +144,22 @@ def exact_gemm(A=None, B=None, *, A_dig=None, B_dig=None, L: int = 7,
     maxdeg keeps digit pairs with (i+1)+(j+1) <= maxdeg; 8 -> 28 GEMMs,
     residual ~K * 2^-49 * scale worst-case, ~sqrt(K) * 2^-52 random.
 
+    A_pre/B_pre take prechunk_A/prechunk_B outputs (bf16 chunk lists)
+    for loop-constant operands — skips both digitization and chunking.
+
     digit_dtype picks the MXU pipe.  float32 (default): integer-valued
-    f32 digit GEMMs, exact per kc=512 chunk (products <= 2^14, chunk
-    sums < 2^24) with exact f64 combination across chunks — measured
-    1.3 s for the full 116-bf AO->MO transform.  int8: s32-accumulated
-    int8 MXU GEMMs, no chunking (exact for K <= 131072) — compiles and
+    bf16 digit GEMMs (base-128 digits are bf16-exact), exact per kc=512
+    chunk (products <= 2^14, chunk sums < 2^24 in the f32 accumulator)
+    with exact f64 combination across chunks — measured 1.3 s for the
+    full 116-bf AO->MO transform.  int8: s32-accumulated int8 MXU
+    GEMMs, no chunking (exact for K <= 131072) — compiles and
     validates, but XLA's int8 lowering widens operands to u32 copies at
     runtime (measured seconds per 13k x 13k GEMV — avoid until the
     int8 path lowers natively).
     """
+    if A_pre is not None or B_pre is not None:
+        assert digit_dtype == jnp.float32
+        return _exact_gemm_pre(A, B, A_pre, B_pre, maxdeg)
     Ad, sA = A_dig if A_dig is not None else digitize_A(A, L)
     Bd, sB = B_dig if B_dig is not None else digitize_B(B, L)
     K = Ad[0].shape[1]
@@ -167,6 +213,50 @@ def exact_gemm(A=None, B=None, *, A_dig=None, B_dig=None, L: int = 7,
                 continue
             P = jnp.einsum(  # exact per chunk (f32 accumulation)
                 "cmk,ckn->cmn", ai, Bc[j], preferred_element_type=jnp.float32
+            )
+            term = P.astype(jnp.float64).sum(0) * (2.0 ** (-_Q * (i + j + 2)))
+            acc = term if acc is None else acc + term
+    return acc * (4.0 * sA * sB)
+
+
+def _exact_gemm_pre(A, B, A_pre, B_pre, maxdeg: int):
+    """bf16 digit-GEMM path with one or both operands prechunked."""
+    if A_pre is not None:
+        Ac, sA = A_pre
+        nc, _, kc = Ac[0].shape
+    if B_pre is not None:
+        Bc, sB = B_pre
+        nc, kc, _ = Bc[0].shape
+    pad = None
+    if A_pre is None:
+        Ad, sA = digitize_A(A, len(Bc))
+        M, K = A.shape
+        pad = nc * kc - K
+
+        def ch(a):
+            if pad:
+                a = jnp.pad(a, ((0, 0), (0, pad)))
+            return a.reshape(M, nc, kc).transpose(1, 0, 2).astype(jnp.bfloat16)
+
+        Ac = [ch(a) for a in Ad]
+    if B_pre is None:
+        Bd, sB = digitize_B(B, len(Ac))
+        K, N = B.shape
+        pad = nc * kc - K
+
+        def ch(b):
+            if pad:
+                b = jnp.pad(b, ((0, pad), (0, 0)))
+            return b.reshape(nc, kc, N).astype(jnp.bfloat16)
+
+        Bc = [ch(b) for b in Bd]
+    acc = None
+    for i in range(len(Ac)):
+        for j in range(len(Bc)):
+            if i + j + 2 > maxdeg:
+                continue
+            P = jnp.einsum(
+                "cmk,ckn->cmn", Ac[i], Bc[j], preferred_element_type=jnp.float32
             )
             term = P.astype(jnp.float64).sum(0) * (2.0 ** (-_Q * (i + j + 2)))
             acc = term if acc is None else acc + term
