@@ -101,6 +101,20 @@ def bench_real(workdir: Path):
     e_t_hybrid = do_ccsd_t_spinorb(sys_, cc, cfg, hf.levels, rep, precision="hybrid")
     t_wall_hybrid = time.perf_counter() - t0
 
+    # fully-fused VMEM triples kernel (precision="fused"): timed + gated
+    # here so every bench run hardware-validates it; becomes the default
+    # once this line has recorded ok on the real chip
+    t_wall_fused = e_t_fused = None
+    try:
+        do_ccsd_t_spinorb(sys_, cc, cfg, hf.levels, rep, precision="fused")
+        t0 = time.perf_counter()
+        e_t_fused = do_ccsd_t_spinorb(
+            sys_, cc, cfg, hf.levels, rep, precision="fused"
+        )
+        t_wall_fused = time.perf_counter() - t0
+    except Exception:
+        pass
+
     # accuracy gate vs the reference run (els_cpu.out): 1e-8 Ha contract
     ok_ccsd = abs(cc.e_ccsd - -0.399789132814) < 1e-8
     ok_t = abs(e_t - -0.434032756) < 1e-8
@@ -118,6 +132,10 @@ def bench_real(workdir: Path):
         "ccsd_wall": ccsd_wall,
         "t_wall": t_wall,
         "t_wall_hybrid": t_wall_hybrid,
+        "t_wall_fused": t_wall_fused,
+        "fused_ok": (
+            None if e_t_fused is None else bool(abs(e_t_fused - e_t) < 1e-8)
+        ),
         "cold_wall": ccsd_cold + t_cold,
         "ccsd_iters": cc.iterations,
         "ccsd_tflops": fl_ccsd / ccsd_wall / 1e12,
