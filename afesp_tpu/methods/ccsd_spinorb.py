@@ -147,6 +147,20 @@ class HybridConsts(NamedTuple):
     oovv_mn_dig: tuple  # <mn||ef> keyed (mn, ef) for W_oooo
     ovvv_mbe_dig: tuple  # <mb||ef> keyed (mbe, f) for W_ovvo
     vovv_e_dig: tuple  # <ej||ab> keyed (e, jab) for the T2 t1*vovv term
+    # F-intermediate / small-term constants (emulated-f64 matmuls run at
+    # ~0.3 TF/s on this hardware; the digit-bf16 route is ~2^-35-of-
+    # scale accurate at native MXU rate) — layouts match exact_einsum's
+    # (fa+contr)/(contr+fb) matricisation for the annotated spec
+    oovv_nef_m_dig: tuple  # B of both F_oo tau~ contractions (the
+    #   (n,e,f,·) matricisation coincides for the code and paper modes)
+    oovv_mnf_e_dig: tuple  # B of "mnaf,mnfe->ae"
+    ovvv_mf_ae_dig: tuple  # B of "mf,mafe->ae"
+    ovvv_mfe_a_dig: tuple  # B of "mife,mafe->ia"
+    ooov_ne_mi_dig: tuple  # B of "ne,nmie->mi"
+    ooov_mni_e_dig: tuple  # A of "mnie,je->mnij"
+    oovo_mne_i_dig: tuple  # B of "mnea,mnei->ia"
+    oovo_n_mej_dig: tuple  # B of "nb,nmej->mbej"
+    oovo_ijb_m_dig: tuple  # A of "ijbm,ma->ijab"
 
 
 def presplit_consts(v: SpinSlices, kc: int = 64) -> HybridConsts:
@@ -169,6 +183,23 @@ def presplit_consts(v: SpinSlices, kc: int = 64) -> HybridConsts:
         oovv_mn_dig=prechunk_A(v.oovv.reshape(no * no, nv * nv)),
         ovvv_mbe_dig=prechunk_A(v.ovvv.reshape(no * nv * nv, nv)),
         vovv_e_dig=prechunk_B(v.vovv.reshape(nv, no * nv * nv)),
+        oovv_nef_m_dig=prechunk_B(
+            jnp.transpose(v.oovv, (1, 2, 3, 0)).reshape(no * nv * nv, no)
+        ),
+        oovv_mnf_e_dig=prechunk_B(v.oovv.reshape(no * no * nv, nv)),
+        ovvv_mf_ae_dig=prechunk_B(
+            jnp.transpose(v.ovvv, (0, 2, 1, 3)).reshape(no * nv, nv * nv)
+        ),
+        ovvv_mfe_a_dig=prechunk_B(
+            jnp.transpose(v.ovvv, (0, 2, 3, 1)).reshape(no * nv * nv, nv)
+        ),
+        ooov_ne_mi_dig=prechunk_B(
+            jnp.transpose(v.ooov, (0, 3, 1, 2)).reshape(no * nv, no * no)
+        ),
+        ooov_mni_e_dig=prechunk_A(v.ooov.reshape(no * no * no, nv)),
+        oovo_mne_i_dig=prechunk_B(v.oovo.reshape(no * no * nv, no)),
+        oovo_n_mej_dig=prechunk_B(v.oovo.reshape(no, no * nv * no)),
+        oovo_ijb_m_dig=prechunk_A(v.oovo.reshape(no * no * nv, no)),
     )
 
 
@@ -263,30 +294,13 @@ def _iteration_core(
         hs = exact_einsum
     else:
         hs = bs
-    # pre-digitized variants of the hs contractions whose ERI operand is
-    # a loop constant (digits built once per solve in presplit_consts)
+    # With presplit consts available, every f64-emulated matmul whose
+    # ERI operand is a loop constant runs as a pre-digitized bf16 digit
+    # GEMM instead (emulated f64 measures ~0.3 TF/s at these shapes; the
+    # digit route is ~2^-35-of-scale accurate at native MXU rate, and
+    # digit truncation is platform-independent so the CPU equivalence
+    # suite validates the numerics).
     dig = vvvv_split and consts is not None
-    if dig:
-        from ..ops.exact_gemm import exact_gemm
-
-        no, nv = t1.shape
-
-        def hs_oooo(tau):
-            return exact_gemm(
-                B=jnp.transpose(tau, (2, 3, 0, 1)).reshape(nv * nv, no * no),
-                A_pre=consts.oovv_mn_dig, maxdeg=5,
-            ).reshape(no, no, no, no)
-
-        def hs_mbej(t1_):
-            return exact_gemm(
-                B=jnp.transpose(t1_, (1, 0)), A_pre=consts.ovvv_mbe_dig,
-                maxdeg=5,
-            ).reshape(no, nv, nv, no)
-
-        def hs_t1vovv(t1_):
-            return exact_gemm(
-                A=t1_, B_pre=consts.vovv_e_dig, maxdeg=5
-            ).reshape(no, no, nv, nv)
 
     # -------- tau / tau~ (ccsd.f90:678-715) --------
     x = es("ia,jb->ijab", t1, t1)
@@ -295,9 +309,16 @@ def _iteration_core(
     tau = t2 + x
 
     # -------- F intermediates (ccsd.f90:717-797) --------
-    F_vv = bs("mf,mafe->ae", t1, v.ovvv) + 0.5 * bs(
-        "mnaf,mnfe->ae", tau_tilde, v.oovv
-    )
+    if dig:
+        F_vv = exact_einsum(
+            "mf,mafe->ae", t1, v.ovvv, B_pre=consts.ovvv_mf_ae_dig
+        ) + 0.5 * exact_einsum(
+            "mnaf,mnfe->ae", tau_tilde, v.oovv, B_pre=consts.oovv_mnf_e_dig
+        )
+    else:
+        F_vv = bs("mf,mafe->ae", t1, v.ovvv) + 0.5 * bs(
+            "mnaf,mnfe->ae", tau_tilde, v.oovv
+        )
     if paper_foo:
         # Stanton Eq. 5: 0.5 tau~[i,n,e,f] <mn||ef>.  This is the form
         # the reference's *2022-02 revision* ran (and what Psi4 solves):
@@ -305,26 +326,51 @@ def _iteration_core(
         # both Psi4's reference.dat and the old-revision ref_out —
         # demonstrating the current code's transposed contraction below
         # is a later-introduced bug, not an equivalent rearrangement.
-        F_oo = -bs("ne,nmie->mi", t1, v.ooov) + 0.5 * bs(
-            "inef,mnef->mi", tau_tilde, v.oovv
+        F_oo = -(
+            exact_einsum("ne,nmie->mi", t1, v.ooov, B_pre=consts.ooov_ne_mi_dig)
+            if dig else bs("ne,nmie->mi", t1, v.ooov)
+        ) + 0.5 * (
+            exact_einsum(
+                "inef,mnef->mi", tau_tilde, v.oovv,
+                B_pre=consts.oovv_nef_m_dig,
+            )
+            if dig else bs("inef,mnef->mi", tau_tilde, v.oovv)
         )
     else:
         # code-faithful tau~ contraction (ccsd.f90:792-795; see module
         # docstring) — required to reproduce the committed els.out /
         # els_cpu.out goldens, which were produced by the current code
-        F_oo = -bs("ne,nmie->mi", t1, v.ooov) + 0.5 * bs(
-            "mnef,inef->mi", tau_tilde, v.oovv
+        F_oo = -(
+            exact_einsum("ne,nmie->mi", t1, v.ooov, B_pre=consts.ooov_ne_mi_dig)
+            if dig else bs("ne,nmie->mi", t1, v.ooov)
+        ) + 0.5 * (
+            # NOTE operand order: A = tau~ carries "mnef" (the reproduced
+            # reference transposition); the const oovv B-side happens to
+            # matricise identically in both equation modes
+            exact_einsum(
+                "mnef,inef->mi", tau_tilde, v.oovv,
+                B_pre=consts.oovv_nef_m_dig,
+            )
+            if dig else bs("mnef,inef->mi", tau_tilde, v.oovv)
         )
     F_ov = es("nf,mnef->me", t1, v.oovv)
 
     # -------- W intermediates (ccsd.f90:799-905) --------
     # W_mnij, stored as [i,j,m,n] upstream; we keep natural [m,n,i,j]
-    w1 = es("mnie,je->mnij", v.ooov, t1)
+    w1 = (
+        exact_einsum("mnie,je->mnij", v.ooov, t1, A_pre=consts.ooov_mni_e_dig)
+        if dig else es("mnie,je->mnij", v.ooov, t1)
+    )
     W_oooo = (
         v.oooo
         + w1
         - jnp.transpose(w1, (0, 1, 3, 2))
-        + 0.5 * (hs_oooo(tau) if dig else hs("mnef,ijef->mnij", v.oovv, tau))
+        + 0.5 * (
+            exact_einsum(
+                "mnef,ijef->mnij", v.oovv, tau, A_pre=consts.oovv_mn_dig
+            )
+            if dig else hs("mnef,ijef->mnij", v.oovv, tau)
+        )
     )
     # W_abef (Eq. 7) is NOT materialised: its three contributions to the
     # T2 equation are fused below so no O(v^4) temporary beyond the
@@ -338,8 +384,18 @@ def _iteration_core(
         w4 = bs("mnef,jnfb->mbej", v.oovv, Z)
     W_ovvo = (
         v.ovvo
-        + (hs_mbej(t1) if dig else hs("mbef,jf->mbej", v.ovvv, t1))
-        + es("nb,nmej->mbej", t1, v.oovo)
+        + (
+            exact_einsum(
+                "mbef,jf->mbej", v.ovvv, t1, A_pre=consts.ovvv_mbe_dig
+            )
+            if dig else hs("mbef,jf->mbej", v.ovvv, t1)
+        )
+        + (
+            exact_einsum(
+                "nb,nmej->mbej", t1, v.oovo, B_pre=consts.oovo_n_mej_dig
+            )
+            if dig else es("nb,nmej->mbej", t1, v.oovo)
+        )
         - w4
     )
 
@@ -349,8 +405,18 @@ def _iteration_core(
         - es("mi,ma->ia", F_oo, t1)
         + es("me,maei->ia", t1, v.ovvo)
         + es("miea,me->ia", t2, F_ov)
-        + 0.5 * bs("mife,mafe->ia", t2, v.ovvv)
-        - 0.5 * es("mnea,mnei->ia", t2, v.oovo)
+        + 0.5 * (
+            exact_einsum(
+                "mife,mafe->ia", t2, v.ovvv, B_pre=consts.ovvv_mfe_a_dig
+            )
+            if dig else bs("mife,mafe->ia", t2, v.ovvv)
+        )
+        - 0.5 * (
+            exact_einsum(
+                "mnea,mnei->ia", t2, v.oovo, B_pre=consts.oovo_mne_i_dig
+            )
+            if dig else es("mnea,mnei->ia", t2, v.oovo)
+        )
     )
     t1_new = tmp_t1 / D_ia
 
@@ -371,9 +437,15 @@ def _iteration_core(
     tmp_t2 -= 0.5 * (s - jnp.transpose(s, (0, 1, 3, 2)))
     s = es("ie,me,mjab->ijab", t1, F_ov, t2)
     tmp_t2 -= 0.5 * (s - jnp.transpose(s, (1, 0, 2, 3)))
-    s = hs_t1vovv(t1) if dig else hs("ie,ejab->ijab", t1, v.vovv)
+    s = (
+        exact_einsum("ie,ejab->ijab", t1, v.vovv, B_pre=consts.vovv_e_dig)
+        if dig else hs("ie,ejab->ijab", t1, v.vovv)
+    )
     tmp_t2 += s - jnp.transpose(s, (1, 0, 2, 3))
-    s = es("ijbm,ma->ijab", v.oovo, t1)
+    s = (
+        exact_einsum("ijbm,ma->ijab", v.oovo, t1, A_pre=consts.oovo_ijb_m_dig)
+        if dig else es("ijbm,ma->ijab", v.oovo, t1)
+    )
     tmp_t2 += s - jnp.transpose(s, (0, 1, 3, 2))
     s = es("mi,mjab->ijab", F_oo, t2)
     tmp_t2 -= s - jnp.transpose(s, (1, 0, 2, 3))

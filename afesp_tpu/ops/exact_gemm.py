@@ -109,12 +109,18 @@ def prechunk_B(B, L: int = 4):
     return [ch(b) for b in Bd], sB
 
 
-def exact_einsum(sub: str, A, B, L: int = 4, maxdeg: int = 5):
+def exact_einsum(sub: str, A, B, L: int = 4, maxdeg: int = 5, A_pre=None,
+                 B_pre=None):
     """Two-operand einsum via exact_gemm (plain contractions only, same
     contract as split_gemm.split_einsum).  The L=4/maxdeg=5 default (6
     digit-pair GEMMs) carries ~2^-35-of-row/col-scale error — ~500x
     tighter than the hi/lo split-f32 path at ~2x its GEMM passes, and
-    ~20x faster than an XLA-emulated f64 contraction of the same shape."""
+    ~20x faster than an XLA-emulated f64 contraction of the same shape.
+
+    A_pre/B_pre: prechunk_A/prechunk_B output for a loop-constant
+    operand, in the (fa+contr)/(contr+fb) matricised layout this
+    function would build — the operand array is then only consulted for
+    its SHAPE (pass the original; its values are ignored)."""
     import numpy as np
 
     ins, out = sub.split("->")
@@ -123,13 +129,18 @@ def exact_einsum(sub: str, A, B, L: int = 4, maxdeg: int = 5):
     fa = [c for c in sa if c not in contr]
     fb = [c for c in sb if c not in contr]
     assert set(out) == set(fa + fb) and len(set(sa)) == len(sa)
-    Ap = jnp.transpose(A, [sa.index(c) for c in fa + contr])
-    Bp = jnp.transpose(B, [sb.index(c) for c in contr + fb])
-    M = int(np.prod(Ap.shape[: len(fa)], dtype=np.int64))
-    K = int(np.prod(Ap.shape[len(fa) :], dtype=np.int64))
-    N = int(np.prod(Bp.shape[len(contr) :], dtype=np.int64))
-    C = exact_gemm(Ap.reshape(M, K), Bp.reshape(K, N), L=L, maxdeg=maxdeg)
-    C = C.reshape(Ap.shape[: len(fa)] + Bp.shape[len(contr) :])
+    ash = tuple(A.shape[sa.index(c)] for c in fa + contr)
+    bsh = tuple(B.shape[sb.index(c)] for c in contr + fb)
+    M = int(np.prod(ash[: len(fa)], dtype=np.int64))
+    K = int(np.prod(ash[len(fa) :], dtype=np.int64))
+    N = int(np.prod(bsh[len(contr) :], dtype=np.int64))
+    Am = Bm = None
+    if A_pre is None:
+        Am = jnp.transpose(A, [sa.index(c) for c in fa + contr]).reshape(M, K)
+    if B_pre is None:
+        Bm = jnp.transpose(B, [sb.index(c) for c in contr + fb]).reshape(K, N)
+    C = exact_gemm(Am, Bm, A_pre=A_pre, B_pre=B_pre, L=L, maxdeg=maxdeg)
+    C = C.reshape(ash[: len(fa)] + bsh[len(contr) :])
     return jnp.transpose(C, [(fa + fb).index(c) for c in out])
 
 
