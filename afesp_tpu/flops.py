@@ -58,53 +58,47 @@ def spinorb_ccsd_iteration_flops(o: int, v: int, precision: str = "f64") -> floa
     dense-algorithm count.
 
     precision="hybrid" counts each contraction at its executed cost:
-    the 4-index-output heavyweights run as ONE dense integer-digit MXU
-    GEMM = 6 f32 digit-pair products over the DENSE operands (no Sz
-    blocking; exact_gemm.exact_einsum at L=4/maxdeg=5), while the F
-    intermediates (and the T1 ovvv term) stay Sz-block-sparse f64 (see
-    _iteration_core) — so the reported TFLOP/s is honest for the mode
-    the headline bench runs."""
-    hybrid = precision in ("hybrid", "pallas")
-    # `h`: the hs-contracted heavyweights — dense digit GEMM (6 f32
-    # products) in hybrid, Sz-blocked fraction of the dense MACs in f64.
-    # `f`: always-Sz-blocked contractions (F intermediates, T1 ovvv).
-    h = (lambda spec: 6.0) if hybrid else sz_fraction
-    f = sz_fraction
+    every matmul with an ERI operand runs as ONE dense integer-digit
+    bf16 MXU GEMM = 10 digit-pair products over the DENSE operands
+    (no Sz blocking; exact_gemm at L=5/maxdeg=6), so the reported
+    TFLOP/s is honest for the mode the headline bench runs."""
+    hybrid = precision in ("hybrid", "pallas", "fused")
+    # `h`: digit-GEMM contractions — 10 bf16 digit-pair products over
+    # dense operands in hybrid, Sz-blocked fraction of the MACs in f64.
+    h = (lambda spec: 10.0) if hybrid else sz_fraction
+    f = h  # the F intermediates took the digit route too
+    # terms evaluated DENSE in f64 mode (plain es) but digit in hybrid
+    d = (lambda spec: 10.0) if hybrid else (lambda spec: 1.0)
     mac = 0.0
-    # F intermediates (Sz-blocked in every mode)
+    # F intermediates
     mac += f("mf,mafe->ae") * v * v * o * v
     mac += f("mnaf,mnfe->ae") * v * v * o * o * v
     mac += f("ne,nmie->mi") * o * o * o * v
     mac += f("mnef,inef->mi") * o * o * o * v * v
     mac += o * v * o * v            # nf,mnef->me (dense)
     # W intermediates
-    mac += o**4 * v                 # mnie,je->mnij (dense)
+    mac += d("mnie,je->mnij") * o**4 * v
     mac += h("mnef,ijef->mnij") * o**4 * v * v
     mac += h("mbef,jf->mbej") * o * o * v**3
-    mac += o**3 * v * v             # nb,nmej->mbej (dense)
-    if hybrid:
-        mac += 3 * o**3 * v**3  # _w4_split: 3 f32 products, dense GEMM
-    else:
-        mac += f("mnef,jnfb->mbej") * o**3 * v**3
+    mac += d("nb,nmej->mbej") * o**3 * v * v
+    mac += h("mnef,jnfb->mbej") * o**3 * v**3  # w4
     # T1
     mac += o * v * v + o * o * v + 2 * (o * v) ** 2
     mac += f("mife,mafe->ia") * o * o * v**3
-    mac += o**3 * v * v             # mnea,mnei (dense)
+    mac += d("mnea,mnei->ia") * o**3 * v * v
     # T2
     mac += o**3 * v * v             # ie,ma,mbej chain (dense)
     mac += h("miea,mbej->ijab") * o**3 * v**3
     mac += h("ijae,be->ijab") * o * o * v**3
     mac += o * o * v**3             # ijae,mb,me (dense)
-    mac += 2 * o**3 * v * v         # ie,me,mjab ; ijbm,ma
+    mac += o**3 * v * v             # ie,me,mjab
+    mac += d("ijbm,ma->ijab") * o**3 * v * v
     mac += h("ie,ejab->ijab") * o * o * v**3
     mac += o**3 * v * v             # mi,mjab
     mac += h("mnij,mnab->ijab") * o**4 * v * v
-    # blocked tau*vvvv: 3 spin-block GEMMs; x3 f32 products when split
-    mac += (9 if hybrid else 3) * o * o * (v // 2) ** 4
-    if hybrid:
-        mac += 3 * o**3 * v**3  # _g_split: 3 f32 products, dense GEMM
-    else:
-        mac += f("ijef,maef->ijma") * o**3 * v**3  # G
+    # blocked tau*vvvv: 3 spin-block GEMMs; x10 digit products in hybrid
+    mac += (30 if hybrid else 3) * o * o * (v // 2) ** 4
+    mac += h("ijef,maef->ijma") * o**3 * v**3  # G
     mac += 2 * o**3 * v * v         # G*t1 (two terms)
     mac += o * o * v * v            # energy reduction
     # DIIS gram matrix: nerr^2 * size ~ 64 * (ov + o^2 v^2)

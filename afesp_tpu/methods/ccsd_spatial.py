@@ -96,9 +96,20 @@ def denominators(levels: jnp.ndarray, nocc: int) -> tuple[jnp.ndarray, jnp.ndarr
     return D_ia, D_ijab
 
 
-def _intermediates(t1, t2, v: Slices):
-    """Piecuch Table-1 intermediates (debug twin, ccsd.f90:1334-1454)."""
+def _intermediates(t1, t2, v: Slices, digs=None):
+    """Piecuch Table-1 intermediates (debug twin, ccsd.f90:1334-1454).
+
+    With `digs` (the precomputed prechunk_op dict, hybrid solve), the
+    heavyweight constant-ERI contractions run as pre-digitized bf16
+    digit GEMMs instead of emulated-f64 einsums."""
     es = partial(jnp.einsum, optimize=True)
+
+    def ce(spec, A, B):
+        if digs is None:
+            return es(spec, A, B)
+        from ..ops.exact_gemm import exact_einsum
+
+        return exact_einsum(spec, A, B, A_pre=digs[spec], maxdeg=7)
 
     asym_t2 = 2.0 * t2 - jnp.transpose(t2, (1, 0, 2, 3))
     c_oovv = t2 + es("ia,jb->ijab", t1, t1)
@@ -110,15 +121,15 @@ def _intermediates(t1, t2, v: Slices):
     I_vv = (
         2.0 * es("ebma,me->ba", v.v_vvov, t1)
         - es("bema,me->ba", v.v_vvov, t1)
-        - 2.0 * es("mneb,mnea->ba", v.v_oovv, c_oovv)
-        + es("mnbe,mnea->ba", v.v_oovv, c_oovv)
+        - 2.0 * ce("mneb,mnea->ba", v.v_oovv, c_oovv)
+        + ce("mnbe,mnea->ba", v.v_oovv, c_oovv)
     )
 
     # I_ji' (ccsd.f90:1359)
     I_oo_p = (
         2.0 * es("miej,me->ji", v.v_oovo, t1)
         - es("imej,me->ji", v.v_oovo, t1)
-        + es("mief,mjef->ji", v.v_oovv, asym_t2)
+        + ce("mief,mjef->ji", v.v_oovv, asym_t2)
     )
 
     # I_ji = I_ji' + I_ei t1[j,e] (ccsd.f90:1365)
@@ -127,7 +138,7 @@ def _intermediates(t1, t2, v: Slices):
     # I_klij (ccsd.f90:1375-1376)
     I_oooo = (
         v.v_oooo
-        + es("ijef,klef->klij", v.v_oovv, c_oovv)
+        + ce("ijef,klef->klij", v.v_oovv, c_oovv)
         + es("ke,ijel->klij", t1, v.v_oovo)
         + es("le,jiek->klij", t1, v.v_oovo)
     )
@@ -142,7 +153,7 @@ def _intermediates(t1, t2, v: Slices):
     # I_jbia (ccsd.f90:1400-1401)
     I_ovov = (
         v.v_ovov
-        - 0.5 * es("imeb,jmea->jbia", v.v_oovv, c_oovv)
+        - 0.5 * ce("imeb,jmea->jbia", v.v_oovv, c_oovv)
         - es("mibj,ma->jbia", v.v_oovo, t1)
         + es("ebia,je->jbia", v.v_vvov, t1)
     )
@@ -150,9 +161,9 @@ def _intermediates(t1, t2, v: Slices):
     # I_bjia (ccsd.f90:1413-1414)
     I_voov = (
         jnp.transpose(v.v_oovv, (2, 1, 0, 3))  # v_oovv[i,j,b,a] -> [b,j,i,a]
-        + es("imbe,mjea->bjia", v.v_oovv, t2)
-        - 0.5 * es("imeb,mjea->bjia", v.v_oovv, t2)
-        - 0.5 * es("mieb,mjae->bjia", v.v_oovv, c_oovv)
+        + ce("imbe,mjea->bjia", v.v_oovv, t2)
+        - 0.5 * ce("imeb,mjea->bjia", v.v_oovv, t2)
+        - 0.5 * ce("mieb,mjae->bjia", v.v_oovv, c_oovv)
         + es("beia,je->bjia", v.v_vvov, t1)
         - es("imbj,ma->bjia", v.v_oovo, t1)
     )
@@ -163,7 +174,7 @@ def _intermediates(t1, t2, v: Slices):
     # I_jkia' (ccsd.f90:1438)
     I_ooov_p = (
         jnp.transpose(v.v_oovo, (1, 0, 3, 2))  # v_oovo[k,j,a,i] -> [j,k,i,a]
-        + es("efia,jkef->jkia", v.v_vvov, t2)
+        + ce("efia,jkef->jkia", v.v_vvov, t2)
         + es("je,ekia->jkia", t1, x_voov)
     )
 
@@ -184,22 +195,52 @@ def _intermediates(t1, t2, v: Slices):
 
 
 class SpatialHybridConsts(NamedTuple):
-    """Pre-split (hi, lo) f32 chunk-layout halves of the loop-constant
-    v_vvvv operand consumed by the hybrid split-f32 vvvv GEMM — built
-    once per solve (make_cc_solver's precompute hook); re-splitting the
-    O(v^4) slice inside the while_loop cost ~8-10 ms/iteration."""
+    """Loop-constant operand preparations for the hybrid iteration,
+    built once per solve (make_cc_solver's precompute hook): the
+    split-f32 halves of v_vvvv, plus the pre-digitized bf16 chunk forms
+    (ops/exact_gemm.prechunk_op) of every constant-ERI side of the
+    emulated-f64 contractions now routed through digit GEMMs."""
 
-    vvvv_ab_ef: tuple  # (hi, lo), A-side chunk layout of v_vvvv[(ab),(ef)]
+    digs: dict  # spec -> prechunk_op output (const operand A side)
+
+
+# Contractions of the hybrid iteration whose FIRST operand is a
+# loop-constant ERI slice: evaluated as pre-digitized bf16 digit GEMMs
+# (emulated f64 measures ~0.3 TF/s at these shapes; the digit route is
+# ~2^-35-of-scale at native MXU rate).
+_DIG_CONST_SPECS = (
+    ("mneb,mnea->ba", "v_oovv"),
+    ("mnbe,mnea->ba", "v_oovv"),
+    ("mief,mjef->ji", "v_oovv"),
+    ("ijef,klef->klij", "v_oovv"),
+    ("imeb,jmea->jbia", "v_oovv"),
+    ("imbe,mjea->bjia", "v_oovv"),
+    ("imeb,mjea->bjia", "v_oovv"),
+    ("mieb,mjae->bjia", "v_oovv"),
+    ("efia,jkef->jkia", "v_vvov"),
+    ("efma,mief->ia", "v_vvov"),
+    ("mnei,mnea->ia", "v_oovo"),
+    ("mnei,mnae->ia", "v_oovo"),
+    # the dominant O(o^2 v^4) contraction: digit GEMMs replace the hi/lo
+    # split-f32 route here — ~the same MXU passes (15 bf16 vs 3 six-pass
+    # f32 products) but 2^-42-of-scale instead of the split path's
+    # measured 7.3e-9 fixed-point noise on the stretched-N2 golden
+    ("efab,ijef->ijab", "v_vvvv"),
+)
 
 
 def spatial_presplit(v: Slices, kc: int = 64) -> SpatialHybridConsts:
-    from .ccsd_spinorb import _chunk_A
-
-    nv = v.v_vvvv.shape[0]
-    # split_einsum("efab,ijef->ijab", vvvv, c) puts vvvv on the A side in
-    # (ab, ef) layout — replicate that layout here
-    Am = jnp.transpose(v.v_vvvv, (2, 3, 0, 1)).reshape(nv * nv, nv * nv)
-    return SpatialHybridConsts(vvvv_ab_ef=_chunk_A(Am, kc))
+    from ..ops.exact_gemm import prechunk_op
+    # L=6/maxdeg=7 (15 digit-pair GEMMs): with twelve contractions
+    # converted, the compounded truncation shifts the stretched-N2
+    # converged energy by 5.1e-8 at L=4 and 8.7e-9 at L=5 — L=6 buys the
+    # 1e-8 contract a comfortable margin while staying ~5-10x cheaper
+    # than the emulated-f64 einsums it replaces
+    digs = {
+        spec: prechunk_op(spec, "A", getattr(v, name), L=6)
+        for spec, name in _DIG_CONST_SPECS
+    }
+    return SpatialHybridConsts(digs=digs)
 
 
 def _iteration_core(
@@ -212,7 +253,19 @@ def _iteration_core(
     exactly as the spin-orbital path does — same kernel, same validated
     ~1e-9 Ha end-to-end shift (tests/test_cc_solver.py)."""
     es = partial(jnp.einsum, optimize=True)
-    im = _intermediates(t1, t2, v)
+    dig = vvvv_split and consts is not None
+    digs = consts.digs if dig else None
+    if dig:
+        from ..ops.exact_gemm import exact_einsum
+
+        def ce(spec, A, B):
+            return exact_einsum(spec, A, B, A_pre=digs[spec], maxdeg=7)
+
+        def xe(spec, A, B):  # both operands iteration-local
+            return exact_einsum(spec, A, B, L=6, maxdeg=7)
+    else:
+        ce = xe = es
+    im = _intermediates(t1, t2, v, digs)
     asym_t2 = im["asym_t2"]
     c_oovv = im["c_oovv"]
 
@@ -223,36 +276,31 @@ def _iteration_core(
         + es("em,miea->ia", im["I_vo"], asym_t2)
         + 2.0 * es("miea,me->ia", v.v_oovv, t1)
         - es("maie,me->ia", v.v_ovov, t1)
-        - 2.0 * es("mnei,mnea->ia", v.v_oovo, t2)
-        + es("mnei,mnae->ia", v.v_oovo, t2)
-        + es("efma,mief->ia", v.v_vvov, asym_t2)
+        - 2.0 * ce("mnei,mnea->ia", v.v_oovo, t2)
+        + ce("mnei,mnae->ia", v.v_oovo, t2)
+        + ce("efma,mief->ia", v.v_vvov, asym_t2)
     )
 
     # ---------------- T2 (Eq. 44; ccsd.f90:1497-1526) ----------------
     if vvvv_split:
-        from .ccsd_spinorb import split_einsum, split_matmul
+        from .ccsd_spinorb import split_einsum
 
         if consts is None:
             vvvv_term = 0.5 * split_einsum("efab,ijef->ijab", v.v_vvvv, c_oovv)
         else:
-            no, nv = t1.shape
-            Bm = jnp.transpose(c_oovv, (2, 3, 0, 1)).reshape(nv * nv, no * no)
-            C = split_matmul(None, Bm, A_pre=consts.vvvv_ab_ef)  # (ab, ij)
-            vvvv_term = 0.5 * jnp.transpose(
-                C.reshape(nv, nv, no, no), (2, 3, 0, 1)
-            )
+            vvvv_term = 0.5 * ce("efab,ijef->ijab", v.v_vvvv, c_oovv)
     else:
         vvvv_term = 0.5 * es("efab,ijef->ijab", v.v_vvvv, c_oovv)
     X = (
-        es("ijae,eb->ijab", t2, im["I_vv"])
+        xe("ijae,eb->ijab", t2, im["I_vv"])
         - es("imab,jm->ijab", t2, im["I_oo"])
         + vvvv_term
-        + 0.5 * es("mnab,ijmn->ijab", c_oovv, im["I_oooo"])
-        + es("ie,ejab->ijab", t1, im["I_vovv_p"])
+        + 0.5 * xe("mnab,ijmn->ijab", c_oovv, im["I_oooo"])
+        + xe("ie,ejab->ijab", t1, im["I_vovv_p"])
         - es("ma,ijmb->ijab", t1, im["I_ooov_p"])
-        - es("mjae,iemb->ijab", t2, im["I_ovov"])
-        - es("iema,mjeb->ijab", im["I_ovov"], t2)
-        + es("miea,ejmb->ijab", asym_t2, im["I_voov"])
+        - xe("mjae,iemb->ijab", t2, im["I_ovov"])
+        - xe("iema,mjeb->ijab", im["I_ovov"], t2)
+        + xe("miea,ejmb->ijab", asym_t2, im["I_voov"])
     )
     t2_new = (v.v_oovv + X + jnp.transpose(X, (1, 0, 3, 2))) / D_ijab
     t1_new = tmp_t1 / D_ia

@@ -117,26 +117,30 @@ from ..ops.exact_gemm import exact_einsum  # noqa: E402
 
 
 def _split_gemm_chunked(tau_b, v_b, kc: int = 64, B_pre=None):
-    """sum_ef tau[i,j,e,f] v[e,f,a,b] via split_matmul."""
+    """sum_ef tau[i,j,e,f] v[e,f,a,b]: digit GEMM when the vvvv block is
+    pre-digitized (B_pre), split_matmul otherwise."""
+    from ..ops.exact_gemm import exact_gemm
+
     o, _, e1, f1 = tau_b.shape
     K = e1 * f1
-    out = split_matmul(
-        tau_b.reshape(o * o, K),
-        None if B_pre is not None else v_b.reshape(K, -1),
-        kc,
-        B_pre=B_pre,
-    )
+    if B_pre is not None:
+        out = exact_gemm(A=tau_b.reshape(o * o, K), B_pre=B_pre, maxdeg=6)
+    else:
+        out = split_matmul(tau_b.reshape(o * o, K), v_b.reshape(K, -1), kc)
     return out.reshape(o, o, v_b.shape[2], v_b.shape[3])
 
 
 class HybridConsts(NamedTuple):
-    """Pre-split (hi, lo) f32 chunk-layout halves of the loop-constant
-    ERI operands consumed by the hybrid split-f32 GEMMs.  Built once per
-    solve by presplit_consts and closed over by the while_loop body —
-    re-deriving them inside the loop cost ~10 ms/iteration of f64->f32
-    conversion traffic on the O(v^4) slice alone (profiled)."""
+    """Loop-constant ERI operand preparations for the hybrid iteration.
+    Built once per solve by presplit_consts and closed over by the
+    while_loop body — re-deriving them inside the loop cost ~10
+    ms/iteration on the O(v^4) slice alone (profiled)."""
 
-    vvvv_aa: tuple  # (hi, lo), (c, kc, vs^2) each
+    # digit-prechunked (L=5/maxdeg=6, ~2^-42 of scale) spin blocks of
+    # vvvv and the G/w4 ERI sides: replaced the hi/lo split-f32 route,
+    # which carried the hybrid path's dominant ~2e-9 fixed-point noise
+    # at ~the same MXU passes (10 bf16 vs 3 six-pass f32 products)
+    vvvv_aa: tuple
     vvvv_bb: tuple
     vvvv_ab: tuple
     ovvv_ef: tuple  # <ma||ef> keyed (ef, ma) for the G intermediate
@@ -171,42 +175,43 @@ def presplit_consts(v: SpinSlices, kc: int = 64) -> HybridConsts:
     A, B = slice(0, vs), slice(vs, None)
     no = v.oovv.shape[0]
     return HybridConsts(
-        vvvv_aa=_chunk_B(v.vvvv[A, A, A, A].reshape(vs * vs, vs * vs), kc),
-        vvvv_bb=_chunk_B(v.vvvv[B, B, B, B].reshape(vs * vs, vs * vs), kc),
-        vvvv_ab=_chunk_B(v.vvvv[A, B, A, B].reshape(vs * vs, vs * vs), kc),
-        ovvv_ef=_chunk_B(
-            jnp.transpose(v.ovvv, (2, 3, 0, 1)).reshape(nv * nv, no * nv), kc
+        vvvv_aa=prechunk_B(v.vvvv[A, A, A, A].reshape(vs * vs, vs * vs), L=5),
+        vvvv_bb=prechunk_B(v.vvvv[B, B, B, B].reshape(vs * vs, vs * vs), L=5),
+        vvvv_ab=prechunk_B(v.vvvv[A, B, A, B].reshape(vs * vs, vs * vs), L=5),
+        ovvv_ef=prechunk_B(
+            jnp.transpose(v.ovvv, (2, 3, 0, 1)).reshape(nv * nv, no * nv), L=5
         ),
-        oovv_me=_chunk_A(
-            jnp.transpose(v.oovv, (0, 2, 1, 3)).reshape(no * nv, no * nv), kc
+        oovv_me=prechunk_A(
+            jnp.transpose(v.oovv, (0, 2, 1, 3)).reshape(no * nv, no * nv), L=5
         ),
-        oovv_mn_dig=prechunk_A(v.oovv.reshape(no * no, nv * nv)),
-        ovvv_mbe_dig=prechunk_A(v.ovvv.reshape(no * nv * nv, nv)),
-        vovv_e_dig=prechunk_B(v.vovv.reshape(nv, no * nv * nv)),
+        oovv_mn_dig=prechunk_A(v.oovv.reshape(no * no, nv * nv), L=5),
+        ovvv_mbe_dig=prechunk_A(v.ovvv.reshape(no * nv * nv, nv), L=5),
+        vovv_e_dig=prechunk_B(v.vovv.reshape(nv, no * nv * nv), L=5),
         oovv_nef_m_dig=prechunk_B(
-            jnp.transpose(v.oovv, (1, 2, 3, 0)).reshape(no * nv * nv, no)
+            jnp.transpose(v.oovv, (1, 2, 3, 0)).reshape(no * nv * nv, no), L=5
         ),
-        oovv_mnf_e_dig=prechunk_B(v.oovv.reshape(no * no * nv, nv)),
+        oovv_mnf_e_dig=prechunk_B(v.oovv.reshape(no * no * nv, nv), L=5),
         ovvv_mf_ae_dig=prechunk_B(
-            jnp.transpose(v.ovvv, (0, 2, 1, 3)).reshape(no * nv, nv * nv)
+            jnp.transpose(v.ovvv, (0, 2, 1, 3)).reshape(no * nv, nv * nv), L=5
         ),
         ovvv_mfe_a_dig=prechunk_B(
-            jnp.transpose(v.ovvv, (0, 2, 3, 1)).reshape(no * nv * nv, nv)
+            jnp.transpose(v.ovvv, (0, 2, 3, 1)).reshape(no * nv * nv, nv), L=5
         ),
         ooov_ne_mi_dig=prechunk_B(
-            jnp.transpose(v.ooov, (0, 3, 1, 2)).reshape(no * nv, no * no)
+            jnp.transpose(v.ooov, (0, 3, 1, 2)).reshape(no * nv, no * no), L=5
         ),
-        ooov_mni_e_dig=prechunk_A(v.ooov.reshape(no * no * no, nv)),
-        oovo_mne_i_dig=prechunk_B(v.oovo.reshape(no * no * nv, no)),
-        oovo_n_mej_dig=prechunk_B(v.oovo.reshape(no, no * nv * no)),
-        oovo_ijb_m_dig=prechunk_A(v.oovo.reshape(no * no * nv, no)),
+        ooov_mni_e_dig=prechunk_A(v.ooov.reshape(no * no * no, nv), L=5),
+        oovo_mne_i_dig=prechunk_B(v.oovo.reshape(no * no * nv, no), L=5),
+        oovo_n_mej_dig=prechunk_B(v.oovo.reshape(no, no * nv * no), L=5),
+        oovo_ijb_m_dig=prechunk_A(v.oovo.reshape(no * no * nv, no), L=5),
     )
 
 
 def tau_vvvv_split(tau, vvvv, consts: HybridConsts | None = None):
-    """tau_vvvv_blocked with the three spin-block GEMMs in split-f32
-    (see _split_gemm_chunked) — the CCSD analogue of the triples hybrid
-    path, selected by `ccsd_precision = "hybrid"` in els.in."""
+    """tau_vvvv_blocked with the three spin-block GEMMs on the MXU fast
+    path (pre-digitized bf16 digit GEMMs when consts are available,
+    hi/lo split-f32 otherwise) — selected by `ccsd_precision = "hybrid"`
+    in els.in."""
     nv = vvvv.shape[0]
     vs = nv // 2
     A, B = slice(0, vs), slice(vs, None)
@@ -231,7 +236,9 @@ def _w4_split(oovv, Z, consts: HybridConsts | None):
         Am = jnp.transpose(oovv, (0, 2, 1, 3)).reshape(no * nv, no * nv)
         C = split_matmul(Am, Zm)
     else:
-        C = split_matmul(None, Zm, A_pre=consts.oovv_me)
+        from ..ops.exact_gemm import exact_gemm
+
+        C = exact_gemm(B=Zm, A_pre=consts.oovv_me, maxdeg=6)
     C = C.reshape(no, nv, no, nv)  # (m, e, j, b)
     return jnp.transpose(C, (0, 3, 1, 2))  # (m, b, e, j)
 
@@ -244,8 +251,10 @@ def _g_split(tau, ovvv, consts: HybridConsts | None):
         Bm = jnp.transpose(ovvv, (2, 3, 0, 1)).reshape(nv * nv, -1)
         C = split_matmul(tau.reshape(no * no, nv * nv), Bm)
     else:
-        C = split_matmul(
-            tau.reshape(no * no, nv * nv), None, B_pre=consts.ovvv_ef
+        from ..ops.exact_gemm import exact_gemm
+
+        C = exact_gemm(
+            tau.reshape(no * no, nv * nv), B_pre=consts.ovvv_ef, maxdeg=6
         )
     return C.reshape(no, no, ovvv.shape[0], ovvv.shape[1])
 
@@ -291,7 +300,7 @@ def _iteration_core(
         # for 2x the (negligible) f32 GEMM passes.  The F intermediates
         # stay Sz-blocked f64: their 2-index outputs assemble with a
         # single cheap concat, so splitting buys nothing there.
-        hs = exact_einsum
+        hs = partial(exact_einsum, L=5, maxdeg=6)
     else:
         hs = bs
     # With presplit consts available, every f64-emulated matmul whose
@@ -311,9 +320,11 @@ def _iteration_core(
     # -------- F intermediates (ccsd.f90:717-797) --------
     if dig:
         F_vv = exact_einsum(
-            "mf,mafe->ae", t1, v.ovvv, B_pre=consts.ovvv_mf_ae_dig
+            "mf,mafe->ae", t1, v.ovvv, B_pre=consts.ovvv_mf_ae_dig,
+            maxdeg=6,
         ) + 0.5 * exact_einsum(
-            "mnaf,mnfe->ae", tau_tilde, v.oovv, B_pre=consts.oovv_mnf_e_dig
+            "mnaf,mnfe->ae", tau_tilde, v.oovv, B_pre=consts.oovv_mnf_e_dig,
+            maxdeg=6,
         )
     else:
         F_vv = bs("mf,mafe->ae", t1, v.ovvv) + 0.5 * bs(
@@ -327,12 +338,13 @@ def _iteration_core(
         # demonstrating the current code's transposed contraction below
         # is a later-introduced bug, not an equivalent rearrangement.
         F_oo = -(
-            exact_einsum("ne,nmie->mi", t1, v.ooov, B_pre=consts.ooov_ne_mi_dig)
+            exact_einsum("ne,nmie->mi", t1, v.ooov,
+                         B_pre=consts.ooov_ne_mi_dig, maxdeg=6)
             if dig else bs("ne,nmie->mi", t1, v.ooov)
         ) + 0.5 * (
             exact_einsum(
                 "inef,mnef->mi", tau_tilde, v.oovv,
-                B_pre=consts.oovv_nef_m_dig,
+                B_pre=consts.oovv_nef_m_dig, maxdeg=6,
             )
             if dig else bs("inef,mnef->mi", tau_tilde, v.oovv)
         )
@@ -341,7 +353,8 @@ def _iteration_core(
         # docstring) — required to reproduce the committed els.out /
         # els_cpu.out goldens, which were produced by the current code
         F_oo = -(
-            exact_einsum("ne,nmie->mi", t1, v.ooov, B_pre=consts.ooov_ne_mi_dig)
+            exact_einsum("ne,nmie->mi", t1, v.ooov,
+                         B_pre=consts.ooov_ne_mi_dig, maxdeg=6)
             if dig else bs("ne,nmie->mi", t1, v.ooov)
         ) + 0.5 * (
             # NOTE operand order: A = tau~ carries "mnef" (the reproduced
@@ -349,7 +362,7 @@ def _iteration_core(
             # matricise identically in both equation modes
             exact_einsum(
                 "mnef,inef->mi", tau_tilde, v.oovv,
-                B_pre=consts.oovv_nef_m_dig,
+                B_pre=consts.oovv_nef_m_dig, maxdeg=6,
             )
             if dig else bs("mnef,inef->mi", tau_tilde, v.oovv)
         )
@@ -358,7 +371,8 @@ def _iteration_core(
     # -------- W intermediates (ccsd.f90:799-905) --------
     # W_mnij, stored as [i,j,m,n] upstream; we keep natural [m,n,i,j]
     w1 = (
-        exact_einsum("mnie,je->mnij", v.ooov, t1, A_pre=consts.ooov_mni_e_dig)
+        exact_einsum("mnie,je->mnij", v.ooov, t1,
+                     A_pre=consts.ooov_mni_e_dig, maxdeg=6)
         if dig else es("mnie,je->mnij", v.ooov, t1)
     )
     W_oooo = (
@@ -367,7 +381,8 @@ def _iteration_core(
         - jnp.transpose(w1, (0, 1, 3, 2))
         + 0.5 * (
             exact_einsum(
-                "mnef,ijef->mnij", v.oovv, tau, A_pre=consts.oovv_mn_dig
+                "mnef,ijef->mnij", v.oovv, tau, A_pre=consts.oovv_mn_dig,
+                maxdeg=6,
             )
             if dig else hs("mnef,ijef->mnij", v.oovv, tau)
         )
@@ -386,13 +401,15 @@ def _iteration_core(
         v.ovvo
         + (
             exact_einsum(
-                "mbef,jf->mbej", v.ovvv, t1, A_pre=consts.ovvv_mbe_dig
+                "mbef,jf->mbej", v.ovvv, t1, A_pre=consts.ovvv_mbe_dig,
+                maxdeg=6,
             )
             if dig else hs("mbef,jf->mbej", v.ovvv, t1)
         )
         + (
             exact_einsum(
-                "nb,nmej->mbej", t1, v.oovo, B_pre=consts.oovo_n_mej_dig
+                "nb,nmej->mbej", t1, v.oovo, B_pre=consts.oovo_n_mej_dig,
+                maxdeg=6,
             )
             if dig else es("nb,nmej->mbej", t1, v.oovo)
         )
@@ -407,13 +424,15 @@ def _iteration_core(
         + es("miea,me->ia", t2, F_ov)
         + 0.5 * (
             exact_einsum(
-                "mife,mafe->ia", t2, v.ovvv, B_pre=consts.ovvv_mfe_a_dig
+                "mife,mafe->ia", t2, v.ovvv, B_pre=consts.ovvv_mfe_a_dig,
+                maxdeg=6,
             )
             if dig else bs("mife,mafe->ia", t2, v.ovvv)
         )
         - 0.5 * (
             exact_einsum(
-                "mnea,mnei->ia", t2, v.oovo, B_pre=consts.oovo_mne_i_dig
+                "mnea,mnei->ia", t2, v.oovo, B_pre=consts.oovo_mne_i_dig,
+                maxdeg=6,
             )
             if dig else es("mnea,mnei->ia", t2, v.oovo)
         )
@@ -438,12 +457,14 @@ def _iteration_core(
     s = es("ie,me,mjab->ijab", t1, F_ov, t2)
     tmp_t2 -= 0.5 * (s - jnp.transpose(s, (1, 0, 2, 3)))
     s = (
-        exact_einsum("ie,ejab->ijab", t1, v.vovv, B_pre=consts.vovv_e_dig)
+        exact_einsum("ie,ejab->ijab", t1, v.vovv,
+                     B_pre=consts.vovv_e_dig, maxdeg=6)
         if dig else hs("ie,ejab->ijab", t1, v.vovv)
     )
     tmp_t2 += s - jnp.transpose(s, (1, 0, 2, 3))
     s = (
-        exact_einsum("ijbm,ma->ijab", v.oovo, t1, A_pre=consts.oovo_ijb_m_dig)
+        exact_einsum("ijbm,ma->ijab", v.oovo, t1,
+                     A_pre=consts.oovo_ijb_m_dig, maxdeg=6)
         if dig else es("ijbm,ma->ijab", v.oovo, t1)
     )
     tmp_t2 += s - jnp.transpose(s, (0, 1, 3, 2))

@@ -95,6 +95,27 @@ def prechunk_A(A, L: int = 4):
     return [ch(a) for a in Ad], sA
 
 
+def prechunk_op(spec: str, side: str, arr, L: int = 4):
+    """Prechunk one side of an exact_einsum contraction: matricise `arr`
+    exactly as exact_einsum would for `spec` (side "A" -> (fa+contr)
+    rows, side "B" -> (contr+fb) columns) and digitize once.  Feed the
+    result to exact_einsum's A_pre/B_pre for loop-constant operands."""
+    import numpy as np
+
+    ins, _ = spec.split("->")
+    sa, sb = ins.split(",")
+    contr = [c for c in sa if c in sb]
+    if side == "A":
+        fa = [c for c in sa if c not in contr]
+        Ap = jnp.transpose(arr, [sa.index(c) for c in fa + contr])
+        M = int(np.prod(Ap.shape[: len(fa)], dtype=np.int64))
+        return prechunk_A(Ap.reshape(M, -1), L)
+    fb = [c for c in sb if c not in contr]
+    Bp = jnp.transpose(arr, [sb.index(c) for c in contr + fb])
+    K = int(np.prod(Bp.shape[: len(contr)], dtype=np.int64))
+    return prechunk_B(Bp.reshape(K, -1), L)
+
+
 def prechunk_B(B, L: int = 4):
     """(K,N) rhs analogue of prechunk_A; returns B_pre."""
     Bd, sB = digitize_B(B, L)

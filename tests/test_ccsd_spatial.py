@@ -122,3 +122,18 @@ def test_ccsd_paper_equations_match_psi4_f2(sample_data, tmp_path):
     assert cc.converged
     total = cc.e_ccsd + hf.e_hf + ints.e_nuc
     assert abs(total - -199.06630847929324) < 1e-8  # reference.dat (Psi4)
+
+
+def test_spatial_hybrid_solve_matches_f64(sample_data, tmp_path):
+    """ccsd_precision='hybrid' now routes the heavyweight intermediates
+    through pre-digitized bf16 digit GEMMs (~2^-35-of-scale) on top of
+    the split-f32 vvvv — the converged CCSD energy must stay within the
+    1e-8 contract of the all-f64 solve."""
+    sys_, ints, cfg, hf, mp2, cc64, _ = run_pipeline(
+        sample_data, tmp_path, "n2-cc-pvdz/2.00_0.00"
+    )
+    cfg.ccsd_precision = "hybrid"
+    rep = Reporter(stream=io.StringIO())
+    cch = do_ccsd_spatial(sys_, mp2.eri_mo, cfg, hf, rep)
+    assert cch.converged
+    assert abs(cch.e_ccsd - cc64.e_ccsd) < 1e-8, (cch.e_ccsd, cc64.e_ccsd)
