@@ -130,3 +130,17 @@ def test_plain_paren_t_bug_compat_flag(sample_data, tmp_path):
     # reference behaviour: plain (T) silently prints the [T] value
     assert tr_bug.e_ccsd_tt == tr_bug.e_ccsd_t
     assert abs(tr_bug.e_ccsd_t - tr.e_ccsd_t) < 1e-12
+
+
+def test_triples_spatial_fused_plain_t_matches_f64(sample_data, tmp_path):
+    """The has_m=False variant of the fused sorted-triples kernel (plain
+    CCSD[T]/(T), no CR moment) against f64 on the N2 fixture."""
+    sys_, ints, cfg, hf, mp2, cc, _ = run_pipeline(
+        sample_data, tmp_path, "n2-cc-pvdz/2.00_0.00"
+    )
+    cfg.ccsd_t_renorm = False
+    cfg.ccsd_t_comp_renorm = False
+    tr64 = do_ccsd_t_spatial(sys_, cc, cfg, hf.levels)
+    trf = do_ccsd_t_spatial(sys_, cc, cfg, hf.levels, precision="fused")
+    for k in ("e_ccsd_t", "e_ccsd_tt"):
+        assert abs(getattr(trf, k) - getattr(tr64, k)) < 1e-8, k
