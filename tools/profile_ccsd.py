@@ -1,11 +1,13 @@
-"""Per-op profile of the hybrid spin-orbital CCSD iteration on the TPU.
+"""Per-op profile of the hybrid CCSD iteration on the TPU.
 
 Runs the production jitted iteration (the same executable the fused
 while_loop solver dispatches) a few times under jax.profiler.trace and
 aggregates the device-side op durations from the perfetto trace, so the
-~65 ms/iteration wall decomposes into named XLA ops instead of guesses.
+per-iteration wall decomposes into named XLA ops instead of guesses.
 
-Usage: PYTHONPATH=/root/repo python tools/profile_ccsd.py
+Usage:
+  PYTHONPATH=/root/repo python tools/profile_ccsd.py            # spinorb pVTZ
+  PYTHONPATH=/root/repo python tools/profile_ccsd.py spatial    # spatial dimer
 """
 
 from __future__ import annotations
@@ -25,8 +27,12 @@ REPO = Path(__file__).resolve().parents[1]
 
 
 def main():
+    import sys as _sys
+
     import jax
     import jax.numpy as jnp
+
+    spatial = len(_sys.argv) > 1 and _sys.argv[1] == "spatial"
 
     jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -35,41 +41,66 @@ def main():
     from afesp_tpu.io import dat
     from afesp_tpu.methods import hf as hf_mod
     from afesp_tpu.methods import mp2 as mp2_mod
-    from afesp_tpu.methods.ccsd_spinorb import (
-        get_spinorb_iteration,
-        make_spin_slices,
-        presplit_consts,
-        spinorb_denominators,
-    )
-    from afesp_tpu.ops.spin import spinorb_levels
 
-    fixture = Path("/root/reference/sample_data/h2o-cc-pvtz/2.00_104.45")
-    eri = REPO / "data" / "h2o-cc-pvtz" / "eri.dat"
-    workdir = Path(tempfile.mkdtemp())
-    for f in ("s.dat", "t.dat", "v.dat", "geom.dat", "els.in"):
-        shutil.copy(fixture / f, workdir / f)
-    shutil.copy(eri, workdir / "eri.dat")
-    cfg = read_els_in(workdir)
-    cfg.calc_type = "CCSD_spinorb"
-    sys_, ints = dat.read_integrals(workdir, cfg.restricted)
-    hf = hf_mod.do_rhf(sys_, ints, cfg, workdir=workdir)
-    mp2 = mp2_mod.do_mp2_spatial(sys_, ints, cfg, hf, workdir=workdir)
-
-    no_sp = sys_.nel // 2
-    slices = make_spin_slices(mp2.eri_mo, nocc_spatial=no_sp)
-    nocc = sys_.nel
-    lv = spinorb_levels(jnp.asarray(hf.levels), no_sp)
-    D_ia, D_ijab = spinorb_denominators(lv, nocc)
     rng = np.random.default_rng(0)
-    t1 = jnp.asarray(rng.standard_normal(D_ia.shape) * 0.01)
-    t2 = jnp.asarray(slices.oovv / D_ijab)
+    if spatial:
+        from afesp_tpu.methods.ccsd_spatial import (
+            ccsd_iteration_hybrid,
+            denominators,
+            make_slices,
+            spatial_presplit,
+        )
 
-    it_hybrid = get_spinorb_iteration(vvvv_split=True)
-    consts = presplit_consts(slices)
-    jax.block_until_ready(consts)
+        workdir = REPO / "data" / "h2o-dimer-cc-pvtz"
+        cfg = read_els_in(workdir)
+        sys_, ints = dat.read_integrals(workdir, cfg.restricted)
+        hf = hf_mod.do_rhf(sys_, ints, cfg, workdir=workdir)
+        mp2 = mp2_mod.do_mp2_spatial(sys_, ints, cfg, hf, workdir=workdir)
+        nocc = sys_.nel // 2
+        slices = make_slices(jnp.asarray(mp2.eri_mo), nocc)
+        D_ia, D_ijab = denominators(jnp.asarray(hf.levels), nocc)
+        t1 = jnp.asarray(rng.standard_normal(D_ia.shape) * 0.01)
+        t2 = jnp.asarray(slices.v_oovv / D_ijab)
+        consts = spatial_presplit(slices)
+        jax.block_until_ready(consts)
 
-    def step(t1, t2):
-        return it_hybrid(t1, t2, slices, D_ia, D_ijab, consts)
+        def step(t1, t2):
+            return ccsd_iteration_hybrid(t1, t2, slices, D_ia, D_ijab, consts)
+    else:
+        from afesp_tpu.methods.ccsd_spinorb import (
+            get_spinorb_iteration,
+            make_spin_slices,
+            presplit_consts,
+            spinorb_denominators,
+        )
+        from afesp_tpu.ops.spin import spinorb_levels
+
+        fixture = Path("/root/reference/sample_data/h2o-cc-pvtz/2.00_104.45")
+        eri = REPO / "data" / "h2o-cc-pvtz" / "eri.dat"
+        workdir = Path(tempfile.mkdtemp())
+        for f in ("s.dat", "t.dat", "v.dat", "geom.dat", "els.in"):
+            shutil.copy(fixture / f, workdir / f)
+        shutil.copy(eri, workdir / "eri.dat")
+        cfg = read_els_in(workdir)
+        cfg.calc_type = "CCSD_spinorb"
+        sys_, ints = dat.read_integrals(workdir, cfg.restricted)
+        hf = hf_mod.do_rhf(sys_, ints, cfg, workdir=workdir)
+        mp2 = mp2_mod.do_mp2_spatial(sys_, ints, cfg, hf, workdir=workdir)
+
+        no_sp = sys_.nel // 2
+        slices = make_spin_slices(mp2.eri_mo, nocc_spatial=no_sp)
+        nocc = sys_.nel
+        lv = spinorb_levels(jnp.asarray(hf.levels), no_sp)
+        D_ia, D_ijab = spinorb_denominators(lv, nocc)
+        t1 = jnp.asarray(rng.standard_normal(D_ia.shape) * 0.01)
+        t2 = jnp.asarray(slices.oovv / D_ijab)
+
+        it_hybrid = get_spinorb_iteration(vvvv_split=True)
+        consts = presplit_consts(slices)
+        jax.block_until_ready(consts)
+
+        def step(t1, t2):
+            return it_hybrid(t1, t2, slices, D_ia, D_ijab, consts)
 
     t1n, t2n = step(t1, t2)
     jax.block_until_ready(t2n)
