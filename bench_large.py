@@ -87,6 +87,18 @@ def main():
     tr = do_ccsd_t_spatial(sys_, cc, cfg, hf.levels, rep)
     t_wall_warm = time.perf_counter() - t0
 
+    # sorted-triples fused kernel: timed + gated here so every dimer
+    # bench hardware-validates it (default flips once recorded ok)
+    t_wall_fused = fused_ok = None
+    try:
+        do_ccsd_t_spatial(sys_, cc, cfg, hf.levels, rep, precision="fused")
+        t0 = time.perf_counter()
+        trf = do_ccsd_t_spatial(sys_, cc, cfg, hf.levels, rep, precision="fused")
+        t_wall_fused = time.perf_counter() - t0
+        fused_ok = bool(abs(trf.e_crccsd_tt - tr.e_crccsd_tt) < 1e-8)
+    except Exception:
+        pass
+
     e_hf_tot = hf.e_hf + ints.e_nuc
     # physical self-consistency: bound closed-shell dimer near its
     # equilibrium — HF total in a sane window, corr energies negative and
@@ -116,6 +128,10 @@ def main():
                 "ccsd_wall": round(ccsd_wall, 3),
                 "t_wall": round(t_wall, 3),
                 "t_wall_warm": round(t_wall_warm, 3),
+                "t_wall_fused": (
+                    None if t_wall_fused is None else round(t_wall_fused, 3)
+                ),
+                "fused_ok": fused_ok,
                 "total_wall": round(time.perf_counter() - t_all, 3),
                 "ccsd_iters": cc.iterations,
                 "e_hf": round(e_hf_tot, 10),
