@@ -108,8 +108,6 @@ def tau_vvvv_blocked(tau, vvvv):
 # Split-f32 GEMM machinery — shared with the large-basis Fock build and
 # AO->MO transform; re-exported here for its historical import site.
 from ..ops.split_gemm import (  # noqa: E402,F401
-    _chunk_A,
-    _chunk_B,
     split_einsum,
     split_matmul,
 )
