@@ -191,9 +191,10 @@ def parse_els_in(text: str) -> Config:
                 raise ValueError(f"ccsd_spinorb_equations must be 'code' or 'paper', got {v!r}")
             cfg.ccsd_spinorb_equations = v
         elif key == "ccsd_precision":
-            if v not in ("f64", "hybrid", "pallas"):
+            if v not in ("f64", "hybrid", "pallas", "fused"):
                 raise ValueError(
-                    f"ccsd_precision must be 'f64', 'hybrid' or 'pallas', got {v!r}"
+                    "ccsd_precision must be 'f64', 'hybrid', 'pallas' "
+                    f"or 'fused', got {v!r}"
                 )
             cfg.ccsd_precision = v
         # unknown keys are ignored (the Fortran namelist would reject them,

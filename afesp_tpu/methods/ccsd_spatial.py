@@ -384,7 +384,9 @@ def do_ccsd_spatial(
 
     # "pallas" only changes the triples finale; the CC solve itself runs
     # the hybrid split-f32 path
-    solver = get_spatial_solver(vvvv_split=cfg.ccsd_precision in ("hybrid", "pallas"))
+    solver = get_spatial_solver(
+        vvvv_split=cfg.ccsd_precision in ("hybrid", "pallas", "fused")
+    )
 
     rep.write(f" Time taken: {time.perf_counter() - t_stage:8.6f} s")
     rep.write("")

@@ -634,7 +634,7 @@ def do_ccsd_spinorb(
 
     solver = get_spinorb_solver(
         paper_foo=cfg.ccsd_spinorb_equations == "paper",
-        vvvv_split=cfg.ccsd_precision in ("hybrid", "pallas"),
+        vvvv_split=cfg.ccsd_precision in ("hybrid", "pallas", "fused"),
     )
 
     rep.write(" Initialisation done, now entering iterative CC solver...")

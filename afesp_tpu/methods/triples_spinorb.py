@@ -370,9 +370,11 @@ def do_ccsd_t_spinorb(
     if precision is None:
         import jax
 
-        precision = (
-            "pallas" if jax.default_backend() in ("tpu", "axon") else "hybrid"
-        )
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        if cfg.ccsd_precision == "fused" and sys_.nvirt <= 128:
+            precision = "fused"
+        else:
+            precision = "pallas" if on_tpu else "hybrid"
     rep = rep or Reporter()
     rep.section("CCSD(T)")
     t_start = time.perf_counter()

@@ -70,7 +70,8 @@ def _prefetch_spinorb(
 
     no_sp = nel // 2
     solver = get_spinorb_solver(
-        paper_foo=equations == "paper", vvvv_split=precision in ("hybrid", "pallas")
+        paper_foo=equations == "paper",
+        vvvv_split=precision in ("hybrid", "pallas", "fused"),
     )
     # the triples stage resolves its own precision (do_ccsd_t_spinorb
     # defaults to the Pallas path on tpu/axon backends) — prefetch the
@@ -160,7 +161,9 @@ def _prefetch_spatial(
     from .ops.cc_step import init_cc_state
 
     nocc = nel // 2
-    solver = get_spatial_solver(vvvv_split=precision in ("hybrid", "pallas"))
+    solver = get_spatial_solver(
+        vvvv_split=precision in ("hybrid", "pallas", "fused")
+    )
 
     def _prefetch_spatial_triples():
         # AOT-compile the production triples programs so the (T) stage
