@@ -5,15 +5,17 @@ variant (1924-2016): batched triples over (i,j,k) with nvirt^3 panels,
 never materialising the 6-D t3 tensor.
 
   t3d(abc)*D = P(i/jk)P(a/bc) t1[i,a] <jk||bc>
-  t3c(abc)*D = P(i/jk)P(a/bc) [ sum_f t2[jk,af] <fi||bc> - sum_m t2[im,bc]? ... ]
-  (exact contractions transcribed below from ccsd.f90:1878-1907)
+  t3c(abc)*D = P(i/jk)P(a/bc) [ f-sum - m-sum ]   (ccsd.f90:1878-1907)
   E(T) = sum_{ijk,abc} t3c * (t3c/D + t3d/D) / 36
 
-The (i,j,k) triple space is processed in chunks of `chunk` triples; each
-chunk is one jitted XLA program whose f-sum is a (chunk*v, v) x (v, v*v)
-MXU matmul.  The same chunked structure is what `parallel.triples_shard`
-distributes over a device mesh (each device takes a slab of chunks,
-psum for the energy).
+Production grid: the STRICT triangle i<j<k only (strict_triple_list —
+the summand is S3-symmetric and vanishes on diagonals, so 6x weight on
+C(o,3) triples replaces the reference's o^3 cube at 8.3x less work),
+evaluated either as chunked batched XLA GEMMs + the Pallas finale
+(precision="pallas"/"hybrid"/"f64") or fully inside the fused Pallas
+kernel (precision="fused", ops/triples_pallas.triples_fused).  The same
+chunk kernel is what `parallel.triples_shard` distributes over a device
+mesh (each device takes a slab of triples, psum for the energy).
 """
 
 from __future__ import annotations
