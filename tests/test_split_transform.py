@@ -104,3 +104,25 @@ def test_pack_from_table_matches_dense_pack():
         unpack_eri(jnp.asarray(ints.eri_packed), n=sys_.nbasis)
     )
     assert np.array_equal(back, ints.eri)
+
+
+def test_exact_gemm_prechunk_paths_bitwise():
+    """A_pre/B_pre must be pure precomputation: the digit GEMM result is
+    bitwise identical whichever side(s) are prechunked."""
+    from afesp_tpu.ops.exact_gemm import (
+        exact_gemm,
+        prechunk_A,
+        prechunk_B,
+    )
+
+    rng = np.random.default_rng(11)
+    A = jnp.asarray(rng.standard_normal((37, 700)))
+    B = jnp.asarray(rng.standard_normal((700, 53)))
+    full = np.asarray(exact_gemm(A, B, L=5, maxdeg=6))
+    Ap, Bp = prechunk_A(A, L=5), prechunk_B(B, L=5)
+    viaA = np.asarray(exact_gemm(B=B, A_pre=Ap, maxdeg=6))
+    viaB = np.asarray(exact_gemm(A=A, B_pre=Bp, maxdeg=6))
+    both = np.asarray(exact_gemm(A_pre=Ap, B_pre=Bp, maxdeg=6))
+    assert np.array_equal(full, viaA)
+    assert np.array_equal(full, viaB)
+    assert np.array_equal(full, both)
