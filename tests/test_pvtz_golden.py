@@ -52,3 +52,43 @@ def test_h2o_ccpvtz_spinorb_ccsd_t_golden(tmp_path):
     assert abs(cc.e_ccsd - -0.399789132814) < 1e-8
     e_t = do_ccsd_t_spinorb(sys_, cc, cfg, hf.levels, rep)
     assert abs(e_t - -0.434032756) < 1e-8
+
+
+@pytest.mark.slow
+def test_h2o_ccpvtz_spinorb_hybrid_golden(tmp_path):
+    """Same golden in the BENCH configuration (ccsd_precision="hybrid",
+    the all-digit-GEMM iteration): measured fixed point sits 6.8e-11
+    (CCSD) / 4.1e-10 ((T)) from els_cpu.out."""
+    if not REFERENCE_FIXTURE.exists():
+        pytest.skip("reference fixture unavailable")
+    eri = REFERENCE_FIXTURE / "eri.dat"
+    if not eri.exists():
+        eri = GENERATED_ERI
+    if not eri.exists():
+        pytest.skip("pVTZ ERI not generated (run the native integral engine)")
+
+    from afesp_tpu.config import read_els_in
+    from afesp_tpu.io import dat
+    from afesp_tpu.io.report import Reporter
+    from afesp_tpu.methods.ccsd_spinorb import do_ccsd_spinorb
+    from afesp_tpu.methods.hf import do_rhf
+    from afesp_tpu.methods.mp2 import do_mp2_spatial
+    from afesp_tpu.methods.triples_spinorb import do_ccsd_t_spinorb
+
+    for f in ("s.dat", "t.dat", "v.dat", "geom.dat", "els.in"):
+        shutil.copy(REFERENCE_FIXTURE / f, tmp_path / f)
+    shutil.copy(eri, tmp_path / "eri.dat")
+
+    cfg = read_els_in(tmp_path)
+    cfg.scf_read_guess = cfg.scf_write_guess = False
+    cfg.calc_type = "CCSD(T)_spinorb"
+    cfg.ccsd_precision = "hybrid"
+    sys_, ints = dat.read_integrals(tmp_path, cfg.restricted)
+    rep = Reporter(stream=io.StringIO())
+    hf = do_rhf(sys_, ints, cfg, rep, tmp_path)
+    mp2 = do_mp2_spatial(sys_, ints, cfg, hf, rep, tmp_path)
+    cc = do_ccsd_spinorb(sys_, mp2.eri_mo, cfg, hf, rep)
+    assert cc.converged
+    assert abs(cc.e_ccsd - -0.399789132814) < 1e-8
+    e_t = do_ccsd_t_spinorb(sys_, cc, cfg, hf.levels, rep, precision="hybrid")
+    assert abs(e_t - -0.434032756) < 1e-8
