@@ -91,7 +91,21 @@ class IntStore:
 
 
 def _parse_numeric_table(path: Path, ncols: int) -> np.ndarray:
-    """Fast whitespace-table parser (np.loadtxt is too slow at ~1e6 lines)."""
+    """Whitespace-table parser.
+
+    Primary path: the native C scanner (io/fastparse.py, built on demand
+    from io/_fastparse.c) — single pass, no transient allocation; the
+    116-bf eri.dat (481 MB) parses in seconds where the NumPy route
+    below peaks at ~6 GB of Python-string heap and takes minutes on this
+    demand-fault-bound microVM.  Results are bit-identical (asserted in
+    tests/test_io.py).  Falls back to str.split -> np.array when no C
+    compiler is available (np.loadtxt is far slower still at ~1e6 lines).
+    """
+    from . import fastparse
+
+    arr = fastparse.parse_doubles_file(path, ncols)
+    if arr is not None:
+        return arr
     text = path.read_text()
     arr = np.array(text.split(), dtype=np.float64)
     if arr.size % ncols != 0:

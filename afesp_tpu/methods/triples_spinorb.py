@@ -364,19 +364,21 @@ def do_ccsd_t_spinorb(
 ) -> float:
     """Returns e_ccsd_t = e_ccsd + E(T) (ccsd.f90:1917).
 
-    precision: "f64" | "hybrid" | "pallas" | "fused" (default on TPU:
-    "pallas", the strict-triangle chunk path with the Pallas finale;
-    "fused" — the fully VMEM-resident kernel, measured ~2x faster again
-    at equal accuracy — requires nvirt <= 128; "hybrid" elsewhere, since
-    off-TPU the Pallas kernels only exist in interpret mode)."""
+    precision: "f64" | "hybrid" | "pallas" | "fused".  Default on TPU:
+    "fused" — the fully VMEM-resident sorted-triples kernel
+    (hardware-validated on the pVTZ headline: 52.5 ms vs 79.8 ms for
+    the "pallas" chunk path at identical 1e-8 accuracy, BENCH r2) —
+    when nvirt <= 128, "pallas" (strict-triangle chunks + Pallas
+    finale) above that; "hybrid" off-TPU, where the Pallas kernels
+    only exist in interpret mode."""
     if precision is None:
         import jax
 
         on_tpu = jax.default_backend() in ("tpu", "axon")
-        if cfg.ccsd_precision == "fused" and sys_.nvirt <= 128:
-            precision = "fused"
+        if on_tpu:
+            precision = "fused" if sys_.nvirt <= 128 else "pallas"
         else:
-            precision = "pallas" if on_tpu else "hybrid"
+            precision = "hybrid"
     rep = rep or Reporter()
     rep.section("CCSD(T)")
     t_start = time.perf_counter()

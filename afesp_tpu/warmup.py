@@ -74,9 +74,14 @@ def _prefetch_spinorb(
         vvvv_split=precision in ("hybrid", "pallas", "fused"),
     )
     # the triples stage resolves its own precision (do_ccsd_t_spinorb
-    # defaults to the Pallas path on tpu/axon backends) — prefetch the
-    # SAME variant or the compile happens again at production time
-    t_prec = "pallas" if jax.default_backend() in ("tpu", "axon") else "hybrid"
+    # defaults to the fused VMEM kernel on tpu/axon when nvirt <= 128,
+    # the strict-chunk Pallas path above) — prefetch the SAME variant or
+    # the compile happens again at production time
+    nvirt_so = 2 * nbasis - nel
+    if jax.default_backend() in ("tpu", "axon"):
+        t_prec = "fused" if nvirt_so <= 128 else "pallas"
+    else:
+        t_prec = "hybrid"
 
     if nbasis > _AOT_NBASIS:
         eri_s, lv_s = _sds((nbasis,) * 4), _sds((nbasis,))

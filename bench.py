@@ -95,25 +95,25 @@ def bench_real(workdir: Path):
     cc, e_t, ccsd_wall, t_wall = run_stage()
     wall = ccsd_wall + t_wall
 
-    # measured pallas-vs-XLA-hybrid triples comparison (the Pallas finale
-    # kernel is the default on TPU because of this number)
-    t0 = time.perf_counter()
-    e_t_hybrid = do_ccsd_t_spinorb(sys_, cc, cfg, hf.levels, rep, precision="hybrid")
-    t_wall_hybrid = time.perf_counter() - t0
-
-    # fully-fused VMEM triples kernel (precision="fused"): timed + gated
-    # here so every bench run hardware-validates it; becomes the default
-    # once this line has recorded ok on the real chip
-    t_wall_fused = e_t_fused = None
-    try:
-        do_ccsd_t_spinorb(sys_, cc, cfg, hf.levels, rep, precision="fused")
-        t0 = time.perf_counter()
-        e_t_fused = do_ccsd_t_spinorb(
-            sys_, cc, cfg, hf.levels, rep, precision="fused"
-        )
-        t_wall_fused = time.perf_counter() - t0
-    except Exception:
-        pass
+    # alternate-kernel comparison walls (each variant warmed once before
+    # its timed pass — a cold pass times XLA compiles, not the kernel).
+    # The fully-fused VMEM kernel is the TPU default (hardware-validated
+    # BENCH r2: 52.5 ms vs 79.8 ms "pallas" at identical 1e-8 accuracy),
+    # so t_wall above already measures it; these keep the regression
+    # comparison honest every run.
+    alt = {}
+    for prec in ("pallas", "hybrid"):
+        try:
+            do_ccsd_t_spinorb(sys_, cc, cfg, hf.levels, rep, precision=prec)
+            t0 = time.perf_counter()
+            e_alt = do_ccsd_t_spinorb(
+                sys_, cc, cfg, hf.levels, rep, precision=prec
+            )
+            alt[f"t_wall_{prec}"] = time.perf_counter() - t0
+            alt[f"{prec}_ok"] = bool(abs(e_alt - e_t) < 1e-8)
+        except Exception:
+            alt[f"t_wall_{prec}"] = None
+            alt[f"{prec}_ok"] = None
 
     # accuracy gate vs the reference run (els_cpu.out): 1e-8 Ha contract
     ok_ccsd = abs(cc.e_ccsd - -0.399789132814) < 1e-8
@@ -131,11 +131,7 @@ def bench_real(workdir: Path):
         "e_ccsd_t": e_t,
         "ccsd_wall": ccsd_wall,
         "t_wall": t_wall,
-        "t_wall_hybrid": t_wall_hybrid,
-        "t_wall_fused": t_wall_fused,
-        "fused_ok": (
-            None if e_t_fused is None else bool(abs(e_t_fused - e_t) < 1e-8)
-        ),
+        **alt,
         "cold_wall": ccsd_cold + t_cold,
         "ccsd_iters": cc.iterations,
         "ccsd_tflops": fl_ccsd / ccsd_wall / 1e12,

@@ -68,3 +68,59 @@ def test_guess_roundtrip(tmp_path, sample_data):
     ref_first = src.read_text().split("\n")[0]
     new_first = out.read_text().split("\n")[0]
     assert ref_first == new_first
+
+
+def test_fastparse_matches_numpy_on_fixture(sample_data):
+    """The native C table scanner is bit-identical to the NumPy splitter
+    on a real fixture (every value round-trips the Clinger fast path)."""
+    from afesp_tpu.io import fastparse
+
+    if not fastparse.available():
+        import pytest
+
+        pytest.skip("no C compiler in this environment")
+    path = sample_data / "n2-cc-pvdz/2.00_0.00/eri.dat"
+    native = fastparse.parse_doubles_file(path, 5)
+    ref = np.array(path.read_text().split(), dtype=np.float64).reshape(-1, 5)
+    assert native.shape == ref.shape
+    assert np.array_equal(native, ref)
+
+
+def test_fastparse_grammar_corners(tmp_path):
+    """Exponent forms (e/E/d/D), signs, >16-digit mantissas (strtod slow
+    path), CRLF and mixed whitespace — all bit-identical to float()."""
+    from afesp_tpu.io import fastparse
+
+    if not fastparse.available():
+        import pytest
+
+        pytest.skip("no C compiler in this environment")
+    tokens = [
+        "1", "-1", "+3.5", "0.000124", "-4.122252734918149",
+        "1.0e3", "2.5E-7", "3.25d2", "-7.5D-3", "123456789012345678901.5",
+        "-0.12345678901234567890", "9e300", "1e-300", "42.", ".5", "-.25",
+    ]
+    text = "\t".join(tokens[:4]) + "\r\n" + "  ".join(tokens[4:8]) + "\n" \
+        + " ".join(tokens[8:12]) + "\n" + " ".join(tokens[12:]) + "\n"
+    p = tmp_path / "corner.dat"
+    p.write_text(text)
+    native = fastparse.parse_doubles_file(p, 4).ravel()
+    expect = np.array(
+        [float(t.replace("d", "e").replace("D", "e")) for t in tokens]
+    )
+    assert np.array_equal(native, expect)
+
+
+def test_fastparse_rejects_garbage(tmp_path):
+    from afesp_tpu.io import fastparse
+
+    if not fastparse.available():
+        import pytest
+
+        pytest.skip("no C compiler in this environment")
+    p = tmp_path / "bad.dat"
+    p.write_text("1 2 three 4\n")
+    import pytest
+
+    with pytest.raises(ValueError, match="malformed"):
+        fastparse.parse_doubles_file(p, 4)
