@@ -33,10 +33,19 @@ COORDS = np.array(
     ]
 )
 
-ELS_IN = """&elsinput
+# els.in mirrors the committed data/h2o-dimer-cc-pvtz/els.in: do NOT
+# regenerate with looser SCF tolerances — 1e-9/1e-8 pins the stationary
+# point so energies are path-independent at the 1e-8 contract (see the
+# comment block in the committed file).
+ELS_IN = """! SCF tolerances tightened (r2): with dE ~1e-6-scale steps near
+! convergence, a 1e-6 stop leaves the converged energy determined only
+! to ~1e-7 — different (equally correct) Fock arithmetic paths then
+! legitimately stop one iteration apart.  1e-9/1e-8 pins the stationary
+! point so energies are path-independent at the 1e-8 contract.
+&elsinput
 calc_type="CRCCSD(T)_spatial",
-scf_e_tol=1e-6,
-scf_d_tol=1e-7,
+scf_e_tol=1e-9,
+scf_d_tol=1e-8,
 scf_diis_n_errmat=6,
 ccsd_e_tol=1e-6,
 ccsd_t_tol=1e-7,
