@@ -113,7 +113,7 @@ def triples_total_sharded(
 
         # the carry must be device-varying under shard_map's manual-axes
         # typing (each shard accumulates its own partial)
-        acc0 = jax.lax.pvary(jnp.float64(0.0), (axis,))
+        acc0 = jax.lax.pcast(jnp.float64(0.0), (axis,), to="varying")
         acc = jax.lax.fori_loop(0, nchunk, body, acc0)
         return jax.lax.psum(acc, axis)
 
