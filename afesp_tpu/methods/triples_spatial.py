@@ -484,14 +484,16 @@ def do_ccsd_t_spatial(
     if precision is None:
         precision = cfg.ccsd_precision
         if precision == "hybrid" and jax.default_backend() in ("tpu", "axon"):
-            # TPU default: upgrade "hybrid" to the fused VMEM finale —
-            # same f32 GEMM panels, strictly less HBM traffic, validated
-            # <=1e-8 vs f64 (tests/test_triples_spatial.py).  An explicit
-            # ccsd_precision="f64" is respected (full-f64 triples).
-            # (The sorted-triples precision="fused" kernel is ~4.5x less
-            # panel work again; it becomes the default once hardware-
-            # validated — tracked in bench_large.)
-            precision = "pallas"
+            # TPU default: upgrade "hybrid" to the sorted-triples fused
+            # VMEM kernel — hardware-validated on the 116-bf dimer
+            # (fused_ok=true, 0.36 s vs 0.95 s for the slab+finale
+            # "pallas" path at identical 1e-8 accuracy, BENCH_LARGE r2);
+            # "pallas" when nvirt exceeds the kernel's 128-lane panel, or
+            # under a mesh (the sharded path shards the slab kernel).
+            # An explicit ccsd_precision="f64" is respected.
+            precision = (
+                "fused" if (sys_.nvirt <= 128 and mesh is None) else "pallas"
+            )
 
     nocc, nvirt = sys_.nocc, sys_.nvirt
     doing_T = cfg.ccsd_t_paren

@@ -177,7 +177,7 @@ def _prefetch_spatial(
         nvirt = nbasis - nocc
         t_prec = precision
         if t_prec == "hybrid" and jax.default_backend() in ("tpu", "axon"):
-            t_prec = "pallas"
+            t_prec = "fused" if nvirt <= 128 else "pallas"
         if doing_cr:
             from .methods.triples_spatial import cr_intermediates
             from .methods.ccsd_spatial import Slices
