@@ -189,7 +189,8 @@ def triples_spatial_sharded(
             )
 
         init = tuple(
-            jax.lax.pvary(jnp.float64(0.0), (axis,)) for _ in _SUM_KEYS
+            jax.lax.pcast(jnp.float64(0.0), (axis,), to="varying")
+            for _ in _SUM_KEYS
         )
         sums = jax.lax.fori_loop(0, idx_l.shape[0], body, init)
         return tuple(jax.lax.psum(s, axis) for s in sums)
