@@ -146,6 +146,31 @@ def pack_from_table(
     return packed
 
 
+def pack_from_quadruple_table(tab: np.ndarray, nbasis: int) -> np.ndarray:
+    """pack_from_table over a whole (nquad, 5) table, CHUNKED.
+
+    On this microVM freshly malloc'd pages fault at ~14 MB/s (np.empty /
+    np.load / ufunc temporaries) while calloc'd pages are fast — a
+    whole-table pack at 116 bf allocates ~15 temporary 125 MB arrays and
+    measures 71 s.  Chunking to 1M rows keeps every temporary in
+    glibc's reused-arena fast path (<10 MB), same result, ~1 s.  `tab`
+    may be a read-only np.memmap (the sidecar cache is loaded with
+    mmap_mode='r' for the same reason)."""
+    npair = nbasis * (nbasis + 1) // 2
+    packed = np.zeros(npair * (npair + 1) // 2)
+    ch = 1 << 20
+    for c0 in range(0, tab.shape[0], ch):
+        t = np.asarray(tab[c0 : c0 + ch])
+        i, j, k, l = (t[:, c].astype(np.int64) - 1 for c in range(4))
+        hi, lo = np.maximum(i, j), np.minimum(i, j)
+        ij = hi * (hi + 1) // 2 + lo
+        hk, lk = np.maximum(k, l), np.minimum(k, l)
+        kl = hk * (hk + 1) // 2 + lk
+        phi, plo = np.maximum(ij, kl), np.minimum(ij, kl)
+        packed[phi * (phi + 1) // 2 + plo] = t[:, 4]
+    return packed
+
+
 def read_eri_table(path: str | Path) -> np.ndarray:
     """Parse `eri.dat` into its (nquad, 5) canonical-quadruple table,
     with the binary sidecar cache (see inline comments)."""
@@ -167,7 +192,10 @@ def read_eri_table(path: str | Path) -> np.ndarray:
             with open(path, "rb") as f:
                 head = f.read(64).decode("ascii", "replace")
             if m.get("size") == path.stat().st_size and m.get("head") == head:
-                tab = np.load(cache)
+                # mmap: a plain np.load allocates the full table through
+                # the ~14 MB/s fresh-page fault path (47 s at 116 bf);
+                # downstream consumers read it chunked
+                tab = np.load(cache, mmap_mode="r")
         except (OSError, ValueError):
             tab = None
     if tab is None:
@@ -185,6 +213,49 @@ def read_eri_table(path: str | Path) -> np.ndarray:
             except OSError:
                 pass  # read-only fixture dir — cache is best-effort
     return tab
+
+
+def _eri_fingerprint(path: Path) -> dict:
+    with open(path, "rb") as f:
+        head = f.read(64).decode("ascii", "replace")
+    return {"size": path.stat().st_size, "head": head}
+
+
+def load_packed_cache(path: Path, nbasis: int) -> np.ndarray | None:
+    """Load the packed-ERI sidecar (`eri.dat.packed.npy`) if its content
+    fingerprint matches the source text file.  The packed store is 3.4x
+    smaller than the quadruple table and skips the pack step entirely —
+    the large-basis TPU path reads nothing else."""
+    cache = path.with_suffix(".dat.packed.npy")
+    meta = path.with_suffix(".dat.packed.meta")
+    if not (cache.exists() and meta.exists()):
+        return None
+    try:
+        import json
+
+        m = json.loads(meta.read_text())
+        fp = _eri_fingerprint(path)
+        if m.get("size") != fp["size"] or m.get("head") != fp["head"] or m.get(
+            "nbasis"
+        ) != nbasis:
+            return None
+        src = np.load(cache, mmap_mode="r")
+        out = np.zeros(src.shape)  # calloc page path: see pack_from_quadruple_table
+        np.copyto(out, src)
+        return out
+    except (OSError, ValueError):
+        return None
+
+
+def save_packed_cache(path: Path, nbasis: int, packed: np.ndarray) -> None:
+    try:
+        import json
+
+        np.save(path.with_suffix(".dat.packed.npy"), packed)
+        meta = dict(_eri_fingerprint(path), nbasis=nbasis)
+        path.with_suffix(".dat.packed.meta").write_text(json.dumps(meta))
+    except OSError:
+        pass  # read-only fixture dir — cache is best-effort
 
 
 def read_eri_dense(
@@ -258,20 +329,25 @@ def read_integrals(
     ints.core_hamil = ints.ke + ints.ele_nuc
     ints.nbasis = sys_.nbasis
     if require_eri or (d / "eri.dat").exists():
-        tab = read_eri_table(d / "eri.dat")
         n = sys_.nbasis
-        i, j, k, l = (tab[:, c].astype(np.int64) - 1 for c in range(4))
-        ints.eri_packed = pack_from_table(i, j, k, l, tab[:, 4], n)
         # the dense host tensor only feeds host-side consumers (small-n
         # Fock/trajectory paths, CPU-backend MP2); on the large-basis
         # TPU path everything reads the packed device unpack instead and
         # the 8-fold scatter (1-6 min of fresh-page faults at 116 bf on
-        # this microVM) is skipped
+        # this microVM) is skipped — as is the quadruple table itself
+        # when the packed sidecar cache is fresh
         import jax
 
         large_tpu = n >= 100 and jax.default_backend() in ("tpu", "axon")
-        if not large_tpu:
-            ints.eri = read_eri_dense(d / "eri.dat", n, tab=tab)
+        packed = load_packed_cache(d / "eri.dat", n) if large_tpu else None
+        if packed is None:
+            tab = read_eri_table(d / "eri.dat")
+            packed = pack_from_quadruple_table(tab, n)
+            if large_tpu:
+                save_packed_cache(d / "eri.dat", n, packed)
+            else:
+                ints.eri = read_eri_dense(d / "eri.dat", n, tab=tab)
+        ints.eri_packed = packed
 
     sys_.natoms, sys_.charges, sys_.coords = read_geometry(d / "geom.dat")
     sys_.nel = int(sys_.charges.sum())

@@ -25,6 +25,8 @@ TPU.
 from __future__ import annotations
 
 import dataclasses
+import os
+import sys
 import time
 from pathlib import Path
 
@@ -41,6 +43,14 @@ from ..io.report import Reporter
 # host BLAS gemv's over a one-time (ik|jl) re-sort (remote tunnel) —
 # see the module docstring for the measured rationale.
 _TPU_FOCK_NBASIS = 100
+
+
+def _prof(label: str, t0: float) -> float:
+    """AFESP_HF_PROFILE=1: per-phase SCF wall breakdown to stderr."""
+    t1 = time.perf_counter()
+    if os.environ.get("AFESP_HF_PROFILE"):
+        print(f"[hf-prof] {label}: {t1 - t0:.3f}s", file=sys.stderr, flush=True)
+    return t1
 
 
 def device_is_remote_tunnel() -> bool:
@@ -91,19 +101,114 @@ def _fock_split_consts(eri):
     return digitize_A(Em), digitize_A(Km)
 
 
-@jax.jit
-def _fock_build_split(H, D, consts):
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("packed_f32",))
+def _fock_build_split(H, D, consts, iu=None, packed_f32=False):
     """F = Hcore + 2J - K with J/K as exact integer-limb int8 MXU GEMVs
     over the pre-digitized ERI matricisations — f64-grade (~2^-49 of
     scale, tests/test_split_transform.py), so large-basis SCF carries no
-    precision penalty versus the <=58-bf host trajectory path."""
+    precision penalty versus the <=58-bf host trajectory path.
+
+    With `iu` (upper-triangle index pair), returns only the packed upper
+    triangle: F is symmetric, and through the axon tunnel (~0.5 MB/s
+    down) halving the per-iteration download is the dominant SCF loop
+    saving.  packed_f32 additionally downcasts the packed result — used
+    for early SCF iterations far from convergence, where ~1e-7 relative
+    Fock noise is invisible next to the ~1e-1..1e-4 density error and
+    DIIS operates on the f64 reconstruction regardless (the converged
+    stationary point is pinned by the final f64 iterations)."""
     from ..ops.exact_gemm import exact_gemm
 
     n = H.shape[0]
     d = D.reshape(-1, 1)
     J = exact_gemm(B=d, A_dig=consts[0]).reshape(n, n)
     K = exact_gemm(B=d, A_dig=consts[1]).reshape(n, n)
-    return H + 2.0 * J - K
+    F = H + 2.0 * J - K
+    if iu is None:
+        return F
+    Fp = F[iu[0], iu[1]]
+    return Fp.astype(jnp.float32) if packed_f32 else Fp
+
+
+@partial(jax.jit, static_argnames=("nocc", "nerr", "maxiter"))
+def _scf_prelude_device(H, S, X, consts, iu, *, nocc, nerr, maxiter):
+    """Device-resident DIIS SCF prelude: one XLA dispatch that iterates
+    F' = X^T F X -> eigh -> D -> exact-GEMM Fock -> on-device Pulay DIIS
+    until the density settles to the f32-eigh noise floor (~3e-5 rms).
+
+    Purpose: through the axon tunnel every host-loop iteration pays a
+    dispatch + an F download (~0.1-5 s, load-dependent); this folds the
+    ~15-25 far-from-convergence iterations into ONE round trip.  The
+    eigensolve runs in native f32 (the TPU has no f64 eigh; the emulated
+    path carries ~1e-6 eigenvector error at >10x the cost), the Fock
+    build in f64-grade digit GEMMs, so the returned AO Fock is an
+    ~1e-5-accurate stationary point.  It is used purely as the host
+    loop's initial guess — do_rhf then polishes to the exact f64
+    stationary point at the els.in tolerances, so converged energies are
+    bit-for-bit independent of this prelude (same fixed point, different
+    starting guess; the tightened large-n tolerances pin it).
+
+    Returns (packed upper triangle of the last Fock, iterations run).
+    """
+    from ..ops.cc_step import gauss_solve
+    from ..ops.exact_gemm import exact_gemm
+
+    n = H.shape[0]
+
+    def fock(D):
+        d = D.reshape(-1, 1)
+        J = exact_gemm(B=d, A_dig=consts[0]).reshape(n, n)
+        K = exact_gemm(B=d, A_dig=consts[1]).reshape(n, n)
+        return H + 2.0 * J - K
+
+    def cond(carry):
+        return (~carry[-1]) & (carry[-2] < maxiter)
+
+    def body(carry):
+        F, D_old, E_old, Fh, Eh, gram, slot, nact, it, _done = carry
+        Fp = X.T @ F @ X
+        _, Cp = jnp.linalg.eigh(Fp.astype(jnp.float32))
+        C = (X @ Cp.astype(jnp.float64)).T
+        D = C[:nocc].T @ C[:nocc]
+        E = jnp.sum(D * (H + F))
+        rms = jnp.sqrt(jnp.sum((D - D_old) ** 2))
+        done = (rms < 3e-5) & (jnp.abs(E - E_old) < 1e-7)
+        Fn = fock(D)
+        err = (Fn @ D @ S - S @ D @ Fn).ravel()
+        slot = (slot + 1) % nerr
+        nact = jnp.minimum(nact + 1, nerr)
+        Fh = Fh.at[slot].set(Fn.ravel())
+        Eh = Eh.at[slot].set(err)
+        row = jnp.sum(Eh * err[None, :], axis=1)
+        gram = gram.at[slot, :].set(row).at[:, slot].set(row)
+        active = jnp.arange(nerr) < nact
+        both = active[:, None] & active[None, :]
+        M = jnp.zeros((nerr + 1, nerr + 1))
+        M = M.at[:nerr, :nerr].set(jnp.where(both, gram, jnp.eye(nerr)))
+        M = M.at[nerr, :nerr].set(jnp.where(active, -1.0, 0.0))
+        M = M.at[:nerr, nerr].set(jnp.where(active, -1.0, 0.0))
+        rhs = jnp.zeros(nerr + 1).at[nerr].set(-1.0)
+        c, ok = gauss_solve(M, rhs)
+        extrap = jnp.sum(c[:nerr, None] * Fh, axis=0).reshape(n, n)
+        Fn = jnp.where((nact >= 2) & ok, extrap, Fn)
+        return (Fn, D, E, Fh, Eh, gram, slot, nact, it + 1, done)
+
+    carry = (
+        H,
+        jnp.zeros((n, n)),
+        jnp.float64(0.0),
+        jnp.zeros((nerr, n * n)),
+        jnp.zeros((nerr, n * n)),
+        jnp.zeros((nerr, nerr)),
+        jnp.int32(-1),
+        jnp.int32(0),
+        jnp.int32(0),
+        jnp.bool_(False),
+    )
+    carry = jax.lax.while_loop(cond, body, carry)
+    return carry[0][iu[0], iu[1]], carry[-2]
 
 
 def _build_fock(
@@ -184,22 +289,53 @@ def do_rhf(
     H = ints.core_hamil
     eri = ints.eri
     fock_consts = eri_K_host = None
+    tp = time.perf_counter()
     if n >= _TPU_FOCK_NBASIS and (eri is not None or ints.eri_packed is not None):
         if jax.default_backend() in ("tpu", "axon"):
             # split-f32 MXU Fock path: packed upload (8x smaller through
             # the tunnel) + one-time device pre-split of the J/K
             # matricisations; every Fock build is then two native-f32
             # split GEMVs instead of host BLAS or emulated-f64 einsums
-            fock_consts = _fock_split_consts(ints.eri_on_device())
+            eri_dev = ints.eri_on_device()
+            jax.block_until_ready(eri_dev)
+            tp = _prof("eri upload+unpack", tp)
+            fock_consts = _fock_split_consts(eri_dev)
+            jax.block_until_ready(fock_consts)
+            tp = _prof("fock digitize", tp)
+            H_dev = jnp.asarray(H)
+            iu_host = np.triu_indices(n)
+            iu_dev = (jnp.asarray(iu_host[0]), jnp.asarray(iu_host[1]))
         else:
             # large-n CPU backend: one-time (ik|jl) re-sort so every
             # Fock build is two host dgemv's
             eri_K_host = np.ascontiguousarray(eri.transpose(0, 2, 1, 3))
+            tp = _prof("eri_K resort", tp)
     X = symmetric_orthogonaliser_np(S)
+    tp = _prof("orthogonaliser", tp)
 
     if cfg.scf_read_guess:
         rep.write(" Reading previous AO Fock matrix as guess...")
         F = dat.read_scf_guess(Path(workdir) / "guess_in.dat", n)
+    elif fock_consts is not None:
+        # large-n TPU: device-resident DIIS prelude folds the
+        # far-from-convergence iterations into one dispatch; the host
+        # loop below polishes to the exact f64 stationary point
+        fp, pre_iters = _scf_prelude_device(
+            H_dev, jnp.asarray(S), jnp.asarray(X), fock_consts, iu_dev,
+            nocc=nocc, nerr=cfg.scf_diis_n_errmat,
+            maxiter=min(cfg.scf_maxiter, 40),
+        )
+        fp = np.asarray(fp, dtype=np.float64)
+        F = np.empty((n, n))
+        F[iu_host] = fp
+        F.T[iu_host] = fp
+        if not np.isfinite(F).all():  # diverged prelude: fall back
+            F = H.copy()
+        else:
+            rep.write(
+                f" Device SCF prelude: {int(pre_iters)} iterations."
+            )
+        tp = _prof("device prelude", tp)
     else:
         # Core-Hamiltonian guess (hf.f90:78-81)
         F = H.copy()
@@ -213,13 +349,16 @@ def do_rhf(
     result = None
     t0 = time.perf_counter()
 
+    acc_host = acc_fock = acc_diis = 0.0
     for it in range(1, cfg.scf_maxiter + 1):
+        tit = time.perf_counter()
         Fp = X.T @ F @ X
         w, Cp = np.linalg.eigh(Fp)
         C = (X @ Cp).T  # rows = MO index (hf.f90:102)
         D = C[:nocc].T @ C[:nocc]
         energy = float(np.sum(D * (H + F)))
         rms = float(np.sqrt(np.sum((D - D_old) ** 2)))
+        acc_host += time.perf_counter() - tit
         t1 = time.perf_counter()
         rep.scf_row(it, energy, energy - energy_old, rms, t1 - t0)
         t0 = t1
@@ -247,11 +386,31 @@ def do_rhf(
 
         energy_old = energy
         D_old = D
-        F = _build_fock(H, eri, D, fock_consts, eri_K_host)
+        tit = time.perf_counter()
+        if fock_consts is not None:
+            # packed symmetric download (and f32 while far from
+            # convergence): the tunnel's ~0.5 MB/s download makes the
+            # per-iteration Fock retrieval the SCF loop's dominant cost
+            early = rms > 1e-3
+            fp = np.asarray(
+                _fock_build_split(
+                    H_dev, jnp.asarray(D), fock_consts, iu_dev,
+                    packed_f32=early,
+                ),
+                dtype=np.float64,
+            )
+            F = np.empty((n, n))
+            F[iu_host] = fp
+            F.T[iu_host] = fp
+        else:
+            F = _build_fock(H, eri, D, fock_consts, eri_K_host)
+        acc_fock += time.perf_counter() - tit
+        tit = time.perf_counter()
         err = F @ D @ S - S @ D @ F  # DIIS error (hf.f90:212-213)
         extrap = diis.update(F, err)
         if extrap is not None:
             F = extrap
+        acc_diis += time.perf_counter() - tit
 
     if not converged:
         # Warn-and-continue, matching hf.f90:144-146 (does NOT abort)
@@ -265,6 +424,14 @@ def do_rhf(
             iterations=cfg.scf_maxiter,
         )
 
+    if os.environ.get("AFESP_HF_PROFILE"):
+        print(
+            f"[hf-prof] loop totals over {result.iterations} iters: "
+            f"host-eigh {acc_host:.3f}s, fock {acc_fock:.3f}s, "
+            f"diis {acc_diis:.3f}s",
+            file=sys.stderr,
+            flush=True,
+        )
     rep.stage_time(
         "Time taken for restricted Hartree-Fock:", time.perf_counter() - t_start
     )

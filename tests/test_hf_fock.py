@@ -45,3 +45,88 @@ def test_fock_paths_agree_at_threshold_boundary():
         F_host = _build_fock(H, eri, D, None)
         F_dev = _build_fock(H, eri, D, consts)
         np.testing.assert_allclose(F_dev, F_host, rtol=0, atol=1e-12)
+
+
+def test_fock_packed_triangle_download_paths():
+    """The packed-upper-triangle device download (the large-n tunnel
+    optimisation in do_rhf) must reconstruct the exact full Fock, and
+    the early-iteration f32 variant must agree to f32 resolution."""
+    from afesp_tpu.methods.hf import _fock_build_split
+
+    n = 24
+    H, eri, D = _random_scf_state(n, seed=7)
+    consts = _fock_split_consts(jnp.asarray(eri))
+    F_full = _build_fock(H, eri, D, consts)
+    iu = np.triu_indices(n)
+    iu_dev = (jnp.asarray(iu[0]), jnp.asarray(iu[1]))
+
+    fp = np.asarray(
+        _fock_build_split(jnp.asarray(H), jnp.asarray(D), consts, iu_dev),
+        dtype=np.float64,
+    )
+    F = np.empty((n, n))
+    F[iu] = fp
+    F.T[iu] = fp
+    np.testing.assert_allclose(F, F_full, rtol=0, atol=0)
+
+    fp32 = np.asarray(
+        _fock_build_split(
+            jnp.asarray(H), jnp.asarray(D), consts, iu_dev, packed_f32=True
+        ),
+        dtype=np.float64,
+    )
+    F32 = np.empty((n, n))
+    F32[iu] = fp32
+    F32.T[iu] = fp32
+    scale = np.max(np.abs(F_full))
+    assert np.max(np.abs(F32 - F_full)) < 1e-6 * scale
+
+
+def test_scf_prelude_device_near_fixed_point(sample_data):
+    """The device SCF prelude (large-n tunnel path) must land within the
+    f32-eigh noise floor of the true f64 stationary point, so the host
+    polish loop starts essentially converged."""
+    from afesp_tpu.config import Config
+    from afesp_tpu.io import dat
+    from afesp_tpu.io.report import Reporter
+    from afesp_tpu.methods.hf import (
+        _scf_prelude_device,
+        do_rhf,
+        symmetric_orthogonaliser_np,
+    )
+    import io
+
+    d = sample_data / "h2o-cc-pvdz" / "1.80_104.45"
+    sys_, ints = dat.read_integrals(d, restricted=True)
+    cfg = Config()
+    hf = do_rhf(sys_, ints, cfg, Reporter(stream=io.StringIO()))
+    assert hf.converged
+
+    n = sys_.nbasis
+    nocc = sys_.nel // 2
+    consts = _fock_split_consts(jnp.asarray(ints.eri))
+    X = symmetric_orthogonaliser_np(ints.ovlp)
+    iu = np.triu_indices(n)
+    fp, iters = _scf_prelude_device(
+        jnp.asarray(ints.core_hamil),
+        jnp.asarray(ints.ovlp),
+        jnp.asarray(X),
+        consts,
+        (jnp.asarray(iu[0]), jnp.asarray(iu[1])),
+        nocc=nocc,
+        nerr=6,
+        maxiter=40,
+    )
+    assert int(iters) >= 2
+    F = np.empty((n, n))
+    F[iu] = np.asarray(fp, dtype=np.float64)
+    F.T[iu] = F[iu]
+
+    # one host diagonalisation of the prelude Fock: energy must sit at
+    # the f32-eigh noise floor of the converged host energy
+    Fp = X.T @ F @ X
+    _, Cp = np.linalg.eigh(Fp)
+    C = (X @ Cp).T
+    D = C[:nocc].T @ C[:nocc]
+    energy = float(np.sum(D * (ints.core_hamil + F)))
+    assert abs(energy - hf.e_hf) < 2e-5

@@ -124,3 +124,53 @@ def test_fastparse_rejects_garbage(tmp_path):
 
     with pytest.raises(ValueError, match="malformed"):
         fastparse.parse_doubles_file(p, 4)
+
+
+def test_pack_chunked_equals_reference_pack(sample_data):
+    """pack_from_quadruple_table (chunked, memmap-friendly) is bit-equal
+    to the plain pack_from_table over a real fixture table."""
+    from afesp_tpu.io.dat import (
+        pack_from_quadruple_table,
+        pack_from_table,
+        read_eri_table,
+    )
+
+    tab = read_eri_table(sample_data / "n2-cc-pvdz" / "2.00_0.00" / "eri.dat")
+    n = 28
+    i, j, k, l = (tab[:, c].astype(np.int64) - 1 for c in range(4))
+    ref = pack_from_table(i, j, k, l, tab[:, 4], n)
+    chk = pack_from_quadruple_table(tab, n)
+    assert np.array_equal(ref, chk)
+
+
+def test_packed_sidecar_cache_roundtrip(tmp_path, sample_data):
+    """The packed sidecar cache must round-trip bit-exactly and reject a
+    modified source file via the content fingerprint."""
+    import shutil
+
+    from afesp_tpu.io.dat import (
+        load_packed_cache,
+        pack_from_quadruple_table,
+        read_eri_table,
+        save_packed_cache,
+    )
+
+    src = tmp_path / "eri.dat"
+    shutil.copyfile(
+        sample_data / "n2-cc-pvdz" / "2.00_0.00" / "eri.dat", src
+    )
+    n = 28
+    packed = pack_from_quadruple_table(read_eri_table(src), n)
+    save_packed_cache(src, n, packed)
+    back = load_packed_cache(src, n)
+    assert back is not None and np.array_equal(back, packed)
+    assert load_packed_cache(src, n + 1) is None  # wrong nbasis
+    # mtime-preserving content change must invalidate (fingerprint, not
+    # mtime): flip one digit in the head
+    data = src.read_bytes()
+    st = src.stat()
+    src.write_bytes(b"9" + data[1:])
+    import os
+
+    os.utime(src, (st.st_atime, st.st_mtime))
+    assert load_packed_cache(src, n) is None
