@@ -132,23 +132,79 @@ def _fock_build_split(H, D, consts, iu=None, packed_f32=False):
     return Fp.astype(jnp.float32) if packed_f32 else Fp
 
 
+def purify_density(Fp, *, nocc, tol=1e-14, maxiter=100):
+    """Occupied-subspace projector of a symmetric (orthogonal-basis) Fock
+    by Palser–Manolopoulos canonical purification (PM98) — NO
+    eigendecomposition, just a fixed point of ~3 small matmuls per step.
+
+    Why: jnp.linalg.eigh inside a jitted loop makes the program's
+    first execution through the axon tunnel catastrophically slow
+    (measured 267 s for a 40-step eigh while_loop vs 3.6 s for a matmul
+    loop of the same trip count — the QDWH graph explodes the
+    server-side program build).  Purification lowers to a handful of
+    dots, runs in emulated f64 (no f32 eigenvector floor), and the SCF
+    prelude only needs D, never eigenvectors.
+
+    D0 = (lam/m)(mu I - Fp) + (nocc/m) I with Gershgorin bounds keeps
+    spec(D0) in [0,1] and tr = nocc; each step applies the trace-
+    preserving cubic; converges once the spectrum polarises to {0,1}.
+    """
+    m = Fp.shape[0]
+    diag = jnp.diagonal(Fp)
+    r = jnp.sum(jnp.abs(Fp), axis=1) - jnp.abs(diag)
+    fmin = jnp.min(diag - r)
+    fmax = jnp.max(diag + r)
+    mu = jnp.trace(Fp) / m
+    lam = jnp.minimum(nocc / (fmax - mu), (m - nocc) / (mu - fmin))
+    eye = jnp.eye(m)
+    D0 = (lam / m) * (mu * eye - Fp) + (nocc / m) * eye
+
+    def cond(c):
+        return (c[2] > tol * m) & (c[1] < maxiter)
+
+    def body(c):
+        D, i, _ = c
+        D2 = D @ D
+        D3 = D2 @ D
+        t_hi = jnp.trace(D2 - D3)
+        t_lo = jnp.trace(D - D2)
+        cn = t_hi / jnp.where(jnp.abs(t_lo) > 1e-300, t_lo, 1e-300)
+        up_lo = ((1.0 - 2.0 * cn) * D + (1.0 + cn) * D2 - D3) / (1.0 - cn)
+        up_hi = ((1.0 + cn) * D2 - D3) / cn
+        Dn = jnp.where(cn <= 0.5, up_lo, up_hi)
+        return Dn, i + 1, jnp.abs(t_lo)
+
+    D, n_it, _ = jax.lax.while_loop(
+        cond, body, (D0, jnp.int32(0), jnp.float64(1.0))
+    )
+    # PM's canonical ratio c_n = tr(D^2-D^3)/tr(D-D^2) is a 0/0 near the
+    # projector and stalls at ~sqrt(eps) (measured: plateau at 5e-8
+    # regardless of iteration budget).  Two trailing McWeeny steps
+    # (3D^2 - 2D^3, unconditionally quadratic near a projector) finish
+    # to f64: 5e-8 -> ~1e-14; the trace drift they introduce is O(err^2).
+    for _ in range(2):
+        D2 = D @ D
+        D = 3.0 * D2 - 2.0 * D2 @ D
+    return D, n_it
+
+
 @partial(jax.jit, static_argnames=("nocc", "nerr", "maxiter"))
 def _scf_prelude_device(H, S, X, consts, iu, *, nocc, nerr, maxiter):
     """Device-resident DIIS SCF prelude: one XLA dispatch that iterates
-    F' = X^T F X -> eigh -> D -> exact-GEMM Fock -> on-device Pulay DIIS
-    until the density settles to the f32-eigh noise floor (~3e-5 rms).
+    F' = X^T F X -> purified density -> exact-GEMM Fock -> on-device
+    Pulay DIIS until the density rms reaches ~1e-8.
 
     Purpose: through the axon tunnel every host-loop iteration pays a
     dispatch + an F download (~0.1-5 s, load-dependent); this folds the
     ~15-25 far-from-convergence iterations into ONE round trip.  The
-    eigensolve runs in native f32 (the TPU has no f64 eigh; the emulated
-    path carries ~1e-6 eigenvector error at >10x the cost), the Fock
-    build in f64-grade digit GEMMs, so the returned AO Fock is an
-    ~1e-5-accurate stationary point.  It is used purely as the host
-    loop's initial guess — do_rhf then polishes to the exact f64
-    stationary point at the els.in tolerances, so converged energies are
-    bit-for-bit independent of this prelude (same fixed point, different
-    starting guess; the tightened large-n tolerances pin it).
+    density comes from eigensolve-free canonical purification (see
+    purify_density — f64 matmuls only), the Fock build from f64-grade
+    digit GEMMs, so the prelude converges to the true f64 stationary
+    point.  It is used purely as the host loop's initial guess — do_rhf
+    then polishes/validates at the els.in tolerances with host LAPACK,
+    so converged energies are independent of this prelude (same fixed
+    point, different starting guess; the tightened large-n tolerances
+    pin it).
 
     Returns (packed upper triangle of the last Fock, iterations run).
     """
@@ -167,14 +223,24 @@ def _scf_prelude_device(H, S, X, consts, iu, *, nocc, nerr, maxiter):
         return (~carry[-1]) & (carry[-2] < maxiter)
 
     def body(carry):
-        F, D_old, E_old, Fh, Eh, gram, slot, nact, it, _done = carry
+        F, D_old, E_old, Fh, Eh, gram, slot, nact, F_best, best, it, _done = carry
         Fp = X.T @ F @ X
-        _, Cp = jnp.linalg.eigh(Fp.astype(jnp.float32))
-        C = (X @ Cp.astype(jnp.float64)).T
-        D = C[:nocc].T @ C[:nocc]
+        D_orth, _ = purify_density(Fp, nocc=nocc)
+        D = X @ D_orth @ X.T
         E = jnp.sum(D * (H + F))
         rms = jnp.sqrt(jnp.sum((D - D_old) ** 2))
-        done = (rms < 3e-5) & (jnp.abs(E - E_old) < 1e-7)
+        # rms scores the Fock this iteration ENTERED with; keep the best.
+        # Once the DIIS Gram goes singular at convergence (ok=False
+        # below) the fallback is the bare Roothaan map, which can drift
+        # slowly AWAY — returning the best iterate makes the prelude
+        # monotone regardless of where maxiter lands.
+        better = rms < best
+        F_best = jnp.where(better, F, F_best)
+        best = jnp.where(better, rms, best)
+        # 1e-8 matches the tightened large-n els.in d_tol; the dE gate
+        # sits at the DIIS stall floor (the host polish enforces the
+        # real e_tol in f64)
+        done = (rms < 1e-8) & (jnp.abs(E - E_old) < 1e-7)
         Fn = fock(D)
         err = (Fn @ D @ S - S @ D @ Fn).ravel()
         slot = (slot + 1) % nerr
@@ -193,7 +259,7 @@ def _scf_prelude_device(H, S, X, consts, iu, *, nocc, nerr, maxiter):
         c, ok = gauss_solve(M, rhs)
         extrap = jnp.sum(c[:nerr, None] * Fh, axis=0).reshape(n, n)
         Fn = jnp.where((nact >= 2) & ok, extrap, Fn)
-        return (Fn, D, E, Fh, Eh, gram, slot, nact, it + 1, done)
+        return (Fn, D, E, Fh, Eh, gram, slot, nact, F_best, best, it + 1, done)
 
     carry = (
         H,
@@ -204,11 +270,13 @@ def _scf_prelude_device(H, S, X, consts, iu, *, nocc, nerr, maxiter):
         jnp.zeros((nerr, nerr)),
         jnp.int32(-1),
         jnp.int32(0),
+        H,
+        jnp.float64(jnp.inf),
         jnp.int32(0),
         jnp.bool_(False),
     )
     carry = jax.lax.while_loop(cond, body, carry)
-    return carry[0][iu[0], iu[1]], carry[-2]
+    return carry[8][iu[0], iu[1]], carry[-2]
 
 
 def _build_fock(

@@ -28,6 +28,7 @@ Correctness is untouched — only cache state changes.
 
 from __future__ import annotations
 
+import os
 import threading
 from functools import partial
 
@@ -263,6 +264,16 @@ def start(sys_, cfg) -> None:
     daemon thread.  Call right after the integral read; no-op if CCSD is
     not requested or a prefetch is already running."""
     if not cfg.wants_ccsd or "cc" in _THREADS:
+        return
+    # Above the AOT threshold the prefetch only .lower().compile()s from
+    # abstract shapes — it can NOT trigger the expensive server-side
+    # program load (only a first execution does, measured 12-60 s for
+    # the big programs through the tunnel), so all it would hide is the
+    # ~seconds of persistent-cache deserialisation.  On this single-core
+    # host the thread meanwhile taxes the HF/MP2 stages by 50-150 s of
+    # GIL/CPU contention (measured) — a bad trade.  Let the CC stages
+    # pay their own (cached) compiles inline instead.
+    if sys_.nbasis > _AOT_NBASIS and (os.cpu_count() or 1) <= 2:
         return
 
     def run():

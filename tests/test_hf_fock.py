@@ -2,6 +2,7 @@
 equal the host numpy path to roundoff (the nbasis >= _TPU_FOCK_NBASIS
 gate in do_rhf switches between them, so they must be interchangeable)."""
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -129,4 +130,27 @@ def test_scf_prelude_device_near_fixed_point(sample_data):
     C = (X @ Cp).T
     D = C[:nocc].T @ C[:nocc]
     energy = float(np.sum(D * (ints.core_hamil + F)))
-    assert abs(energy - hf.e_hf) < 2e-5
+    assert abs(energy - hf.e_hf) < 1e-7
+
+
+def test_purify_density_matches_eigh_projector():
+    """Canonical purification must reproduce the occupied-subspace
+    projector of a random symmetric matrix to f64 accuracy."""
+    from afesp_tpu.methods.hf import purify_density
+
+    rng = np.random.default_rng(3)
+    m, nocc = 40, 7
+    A = rng.standard_normal((m, m))
+    A = (A + A.T) / 2
+    # open a clear HOMO-LUMO gap so the projector is well defined
+    w, V = np.linalg.eigh(A)
+    w[nocc:] += 2.0
+    A = (V * w) @ V.T
+    D_ref = V[:, :nocc] @ V[:, :nocc].T
+
+    D, n_it = jax.jit(purify_density, static_argnames=("nocc",))(
+        jnp.asarray(A), nocc=nocc
+    )
+    assert int(n_it) < 100
+    np.testing.assert_allclose(np.asarray(D), D_ref, rtol=0, atol=1e-10)
+    assert abs(float(jnp.trace(D)) - nocc) < 1e-10
