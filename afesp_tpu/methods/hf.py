@@ -381,6 +381,7 @@ def do_rhf(
     X = symmetric_orthogonaliser_np(S)
     tp = _prof("orthogonaliser", tp)
 
+    prelude_guess = False
     if cfg.scf_read_guess:
         rep.write(" Reading previous AO Fock matrix as guess...")
         F = dat.read_scf_guess(Path(workdir) / "guess_in.dat", n)
@@ -400,6 +401,7 @@ def do_rhf(
         if not np.isfinite(F).all():  # diverged prelude: fall back
             F = H.copy()
         else:
+            prelude_guess = True
             rep.write(
                 f" Device SCF prelude: {int(pre_iters)} iterations."
             )
@@ -458,8 +460,11 @@ def do_rhf(
         if fock_consts is not None:
             # packed symmetric download (and f32 while far from
             # convergence): the tunnel's ~0.5 MB/s download makes the
-            # per-iteration Fock retrieval the SCF loop's dominant cost
-            early = rms > 1e-3
+            # per-iteration Fock retrieval the SCF loop's dominant cost.
+            # Never downcast when the prelude already converged the
+            # guess — f32 noise would just cost ~6 re-convergence
+            # iterations (the iteration-1 rms vs D_old=0 is meaningless)
+            early = rms > 1e-3 and not prelude_guess
             fp = np.asarray(
                 _fock_build_split(
                     H_dev, jnp.asarray(D), fock_consts, iu_dev,

