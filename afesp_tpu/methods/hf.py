@@ -12,14 +12,24 @@ Device placement: at the reference's scale (nbasis <= ~100) SCF is
 latency-bound, and — measured on v5e — the TPU QDWH eigensolver carries
 ~1e-6 eigenvector error under f64 emulation, far outside the 1e-8 Ha
 accuracy contract.  So the SCF loop runs on host LAPACK/numpy (exactly
-the dsyev/dgemm semantics of the reference).  The O(N^4) Fock build has
-two large-basis fast paths: on any TPU backend (direct or behind the
-axon tunnel) the packed ERI is shipped once (8x smaller than dense),
-unpacked on device, pre-split hi/lo f32 ONCE, and every Fock build runs
-as two Ozaki-split f32 MXU GEMVs (`_fock_build_split`); on a large-n CPU
-backend the two contractions run as host BLAS gemv's over a one-time
-(ik|jl) re-sort.  The FLOP-heavy stages (CCSD, triples) always run on
-TPU.
+the dsyev/dgemm semantics of the reference).
+
+Large-basis TPU path (nbasis >= _TPU_FOCK_NBASIS): the packed ERI is
+shipped once (8x smaller through the tunnel), unpacked on device, and
+digitized ONCE into integer-limb form; then
+
+1. `_scf_prelude_device` — ONE dispatch that runs the whole
+   far-from-convergence phase on device: eigensolve-free densities via
+   canonical purification (`purify_density`), exact digit-GEMM Fock
+   builds, on-device Pulay DIIS, converging to the f64 stationary
+   point (the host loop's own fixed point — same Fock map);
+2. the host loop below polishes/validates at the els.in tolerances
+   with host LAPACK eigensolves, downloading only the packed upper
+   Fock triangle per iteration (`_fock_build_split`), ~2-5 iterations.
+
+On a large-n CPU backend the two Fock contractions run as host BLAS
+gemv's over a one-time (ik|jl) re-sort instead.  The FLOP-heavy stages
+(CCSD, triples) always run on TPU.
 """
 
 from __future__ import annotations
