@@ -38,6 +38,7 @@ import dataclasses
 import os
 import sys
 import time
+from functools import partial
 from pathlib import Path
 
 import jax
@@ -109,9 +110,6 @@ def _fock_split_consts(eri):
     Em = eri.reshape(n * n, n * n)
     Km = jnp.transpose(eri, (0, 2, 1, 3)).reshape(n * n, n * n)
     return digitize_A(Em), digitize_A(Km)
-
-
-from functools import partial
 
 
 @partial(jax.jit, static_argnames=("packed_f32",))
