@@ -177,10 +177,10 @@ def read_eri_table(path: str | Path) -> np.ndarray:
     path = Path(path)
     # sidecar binary cache: the pure-Python text parse of a >=100-bf
     # eri.dat (~0.5 GB, ~20M lines) costs minutes on one core; the .npy
-    # reload costs ~1 s.  Validated by a content fingerprint (source byte
-    # size + head bytes) rather than mtime alone: mtime-preserving tools
-    # (rsync -a, cp -p, tar -x) can otherwise leave a stale cache over
-    # different data.  Regenerable, never committed.
+    # reload costs ~1 s.  Validated by a full sha256 content fingerprint
+    # (_eri_fingerprint): size/head/mtime heuristics all have stale-cache
+    # holes with fixed-width .dat regeneration.  Regenerable, never
+    # committed.
     cache = path.with_suffix(".dat.npy")
     meta = cache.with_suffix(".npy.meta")
     tab = None
@@ -188,10 +188,7 @@ def read_eri_table(path: str | Path) -> np.ndarray:
         try:
             import json
 
-            m = json.loads(meta.read_text())
-            with open(path, "rb") as f:
-                head = f.read(64).decode("ascii", "replace")
-            if m.get("size") == path.stat().st_size and m.get("head") == head:
+            if _fingerprint_matches(json.loads(meta.read_text()), path):
                 # mmap: a plain np.load allocates the full table through
                 # the ~14 MB/s fresh-page fault path (47 s at 116 bf);
                 # downstream consumers read it chunked
@@ -205,20 +202,40 @@ def read_eri_table(path: str | Path) -> np.ndarray:
                 import json
 
                 np.save(cache, tab)
-                with open(path, "rb") as f:
-                    head = f.read(64).decode("ascii", "replace")
-                meta.write_text(
-                    json.dumps({"size": path.stat().st_size, "head": head})
-                )
+                meta.write_text(json.dumps(_eri_fingerprint(path)))
             except OSError:
                 pass  # read-only fixture dir — cache is best-effort
     return tab
 
 
 def _eri_fingerprint(path: Path) -> dict:
+    """Full-content fingerprint of a source .dat file.
+
+    size + head-bytes alone is too weak for the fixed-width .dat format:
+    regenerating eri.dat for a perturbed geometry produces a file of
+    identical size whose first quadruples' leading digits can match,
+    silently serving stale integrals.  A streaming sha256 of the whole
+    file costs ~1 s at 481 MB — noise next to the minutes-long parse it
+    guards.  mtime_ns rides along as a secondary staleness signal (a
+    content-preserving touch alone does not invalidate)."""
+    import hashlib
+
+    st = path.stat()
+    h = hashlib.sha256()
     with open(path, "rb") as f:
-        head = f.read(64).decode("ascii", "replace")
-    return {"size": path.stat().st_size, "head": head}
+        while chunk := f.read(1 << 22):
+            h.update(chunk)
+    return {"size": st.st_size, "sha256": h.hexdigest(), "mtime_ns": st.st_mtime_ns}
+
+
+def _fingerprint_matches(meta: dict, path: Path) -> bool:
+    """True iff `meta` (a stored _eri_fingerprint) matches `path`'s
+    current content.  Missing/legacy fields (pre-sha256 metas) fail the
+    match so old caches regenerate once."""
+    if meta.get("size") != path.stat().st_size:
+        return False
+    fp = _eri_fingerprint(path)
+    return meta.get("sha256") == fp["sha256"]
 
 
 def load_packed_cache(path: Path, nbasis: int) -> np.ndarray | None:
@@ -234,10 +251,7 @@ def load_packed_cache(path: Path, nbasis: int) -> np.ndarray | None:
         import json
 
         m = json.loads(meta.read_text())
-        fp = _eri_fingerprint(path)
-        if m.get("size") != fp["size"] or m.get("head") != fp["head"] or m.get(
-            "nbasis"
-        ) != nbasis:
+        if m.get("nbasis") != nbasis or not _fingerprint_matches(m, path):
             return None
         src = np.load(cache, mmap_mode="r")
         out = np.zeros(src.shape)  # calloc page path: see pack_from_quadruple_table

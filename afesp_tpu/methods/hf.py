@@ -163,7 +163,14 @@ def purify_density(Fp, *, nocc, tol=1e-14, maxiter=100):
     fmin = jnp.min(diag - r)
     fmax = jnp.max(diag + r)
     mu = jnp.trace(Fp) / m
-    lam = jnp.minimum(nocc / (fmax - mu), (m - nocc) / (mu - fmin))
+    # a (near-)uniform spectrum makes fmax-mu / mu-fmin underflow to 0 and
+    # D0 NaN, which silently disables the loop predicates; clamping keeps
+    # D0 finite (any positive lam works — D0 just needs spec in [0,1])
+    tiny = jnp.float64(1e-300)
+    lam = jnp.minimum(
+        nocc / jnp.maximum(fmax - mu, tiny),
+        (m - nocc) / jnp.maximum(mu - fmin, tiny),
+    )
     eye = jnp.eye(m)
     D0 = (lam / m) * (mu * eye - Fp) + (nocc / m) * eye
 
@@ -397,9 +404,13 @@ def do_rhf(
         # large-n TPU: device-resident DIIS prelude folds the
         # far-from-convergence iterations into one dispatch; the host
         # loop below polishes to the exact f64 stationary point
+        # DIIS-off configs (n_errmat < 2, mirroring _DiisHost's guard)
+        # still benefit from the one-dispatch prelude; clamp the ring to
+        # 2 slots — with nerr=0 the slot arithmetic is a traced mod-by-
+        # zero and the history shapes are degenerate
         fp, pre_iters = _scf_prelude_device(
             H_dev, jnp.asarray(S), jnp.asarray(X), fock_consts, iu_dev,
-            nocc=nocc, nerr=cfg.scf_diis_n_errmat,
+            nocc=nocc, nerr=max(cfg.scf_diis_n_errmat, 2),
             maxiter=min(cfg.scf_maxiter, 40),
         )
         fp = np.asarray(fp, dtype=np.float64)

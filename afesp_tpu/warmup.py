@@ -273,7 +273,14 @@ def start(sys_, cfg) -> None:
     # host the thread meanwhile taxes the HF/MP2 stages by 50-150 s of
     # GIL/CPU contention (measured) — a bad trade.  Let the CC stages
     # pay their own (cached) compiles inline instead.
-    if sys_.nbasis > _AOT_NBASIS and (os.cpu_count() or 1) <= 2:
+    # usable cores = the scheduler affinity quota, not the host count:
+    # in a CPU-limited container os.cpu_count() reports all host cores
+    # and the contention gate would never fire
+    try:
+        usable_cores = len(os.sched_getaffinity(0))
+    except (AttributeError, OSError):
+        usable_cores = os.cpu_count() or 1
+    if sys_.nbasis > _AOT_NBASIS and usable_cores <= 2:
         return
 
     def run():
