@@ -48,7 +48,8 @@ def _write_tri_4d(path: Path, eri: np.ndarray, cut: float = 1e-12):
 
 
 def write_dat_files(
-    directory: str | Path, charges, coords, basis_name: str, verbose=False
+    directory: str | Path, charges, coords, basis_name: str, verbose=False,
+    write_eri: bool = True,
 ):
     d = Path(directory)
     d.mkdir(parents=True, exist_ok=True)
@@ -56,7 +57,12 @@ def write_dat_files(
     _write_tri_2d(d / "s.dat", overlap(basis))
     _write_tri_2d(d / "t.dat", kinetic(basis))
     _write_tri_2d(d / "v.dat", nuclear(basis, charges, coords))
-    _write_tri_4d(d / "eri.dat", eri_tensor(basis, verbose=verbose))
+    # write_eri=False: >128-bf fixtures store the ERI as the binary
+    # packed eri.npy instead (see tools/make_trimer.py) — the text
+    # quadruple file is quartic in size and exists for els.x interop,
+    # which caps near 99 bf anyway
+    if write_eri:
+        _write_tri_4d(d / "eri.dat", eri_tensor(basis, verbose=verbose))
     with open(d / "geom.dat", "w") as f:
         f.write(f"{len(charges)}\n")
         for z, r in zip(charges, coords):

@@ -299,6 +299,24 @@ def read_eri_dense(
     return eri
 
 
+def unpack_eri_host(packed: np.ndarray, n: int) -> np.ndarray:
+    """Packed eri_ind store -> dense (n,n,n,n) chemist tensor on host,
+    for CPU-backend consumers of binary-native (eri.npy) fixtures.
+    Vectorised row-wise to keep temporaries small (see
+    pack_from_quadruple_table for the fresh-page-fault rationale)."""
+    i = np.arange(n, dtype=np.int64)
+    lo = np.minimum(i[:, None], i[None, :])
+    hi = np.maximum(i[:, None], i[None, :])
+    pair = (hi * (hi + 1) // 2 + lo).reshape(-1)  # (n^2,)
+    eri = np.zeros((n * n, n * n))
+    for r in range(n * n):
+        ij = pair[r]
+        plo = np.minimum(ij, pair)
+        phi = np.maximum(ij, pair)
+        eri[r] = packed[phi * (phi + 1) // 2 + plo]
+    return eri.reshape(n, n, n, n)
+
+
 def read_geometry(path: str | Path) -> tuple[int, np.ndarray, np.ndarray]:
     """Read `geom.dat`: natoms, charges, coords (bohr). geometry.f90:8-36."""
     lines = Path(path).read_text().split("\n")
@@ -342,7 +360,7 @@ def read_integrals(
     ints.ele_nuc = read_dat_matrix(d / "v.dat", sys_.nbasis)
     ints.core_hamil = ints.ke + ints.ele_nuc
     ints.nbasis = sys_.nbasis
-    if require_eri or (d / "eri.dat").exists():
+    if require_eri or (d / "eri.dat").exists() or (d / "eri.npy").exists():
         n = sys_.nbasis
         # the dense host tensor only feeds host-side consumers (small-n
         # Fock/trajectory paths, CPU-backend MP2); on the large-basis
@@ -353,14 +371,30 @@ def read_integrals(
         import jax
 
         large_tpu = n >= 100 and jax.default_backend() in ("tpu", "axon")
-        packed = load_packed_cache(d / "eri.dat", n) if large_tpu else None
-        if packed is None:
-            tab = read_eri_table(d / "eri.dat")
-            packed = pack_from_quadruple_table(tab, n)
-            if large_tpu:
-                save_packed_cache(d / "eri.dat", n, packed)
-            else:
-                ints.eri = read_eri_dense(d / "eri.dat", n, tab=tab)
+        if (d / "eri.npy").exists():
+            # binary-native fixture (tools/make_trimer.py): eri.npy IS
+            # the source of truth — the packed 8-fold store in eri_ind
+            # order.  Used for >99-bf fixtures where the text quadruple
+            # file would be multi-GB and els.x interop is moot.
+            src = np.load(d / "eri.npy", mmap_mode="r")
+            npair = n * (n + 1) // 2
+            if src.shape != (npair * (npair + 1) // 2,):
+                raise ValueError(
+                    f"eri.npy shape {src.shape} inconsistent with nbasis={n}"
+                )
+            packed = np.zeros(src.shape)  # calloc fast-fault path
+            np.copyto(packed, src)
+            if not large_tpu:
+                ints.eri = unpack_eri_host(packed, n)
+        else:
+            packed = load_packed_cache(d / "eri.dat", n) if large_tpu else None
+            if packed is None:
+                tab = read_eri_table(d / "eri.dat")
+                packed = pack_from_quadruple_table(tab, n)
+                if large_tpu:
+                    save_packed_cache(d / "eri.dat", n, packed)
+                else:
+                    ints.eri = read_eri_dense(d / "eri.dat", n, tab=tab)
         ints.eri_packed = packed
 
     sys_.natoms, sys_.charges, sys_.coords = read_geometry(d / "geom.dat")

@@ -174,3 +174,35 @@ def test_packed_sidecar_cache_roundtrip(tmp_path, sample_data):
 
     os.utime(src, (st.st_atime, st.st_mtime))
     assert load_packed_cache(src, n) is None
+
+
+def test_binary_eri_fixture_roundtrip(tmp_path, sample_data):
+    """eri.npy binary-native fixtures (the >99-bf path written by
+    tools/make_trimer.py) must read identically to the text eri.dat
+    fixture, on both the packed store and the host dense tensor."""
+    import shutil
+
+    from afesp_tpu.io.dat import pack_from_quadruple_table, read_eri_table
+    from afesp_tpu.ops.packed_eri import pack_eri
+
+    src = sample_data / "n2-cc-pvdz/2.00_0.00"
+    for f in ("s.dat", "t.dat", "v.dat", "geom.dat"):
+        shutil.copy(src / f, tmp_path / f)
+    n = 28
+    packed = pack_from_quadruple_table(read_eri_table(src / "eri.dat"), n)
+    np.save(tmp_path / "eri.npy", packed)
+
+    sys_b, ints_b = dat.read_integrals(tmp_path, True)
+    sys_t, ints_t = dat.read_integrals(src, True)
+    assert np.array_equal(ints_b.eri_packed, ints_t.eri_packed)
+    assert np.array_equal(ints_b.eri, ints_t.eri)
+
+    # pack_eri (the writer make_trimer uses) and unpack_eri_host (the
+    # reader) must be exact inverses through the eri_ind order
+    assert np.array_equal(pack_eri(ints_t.eri), packed)
+    assert np.array_equal(dat.unpack_eri_host(packed, n), ints_t.eri)
+
+    # a size-inconsistent eri.npy must hard-error, never truncate
+    np.save(tmp_path / "eri.npy", packed[:-1])
+    with pytest.raises(ValueError, match="eri.npy"):
+        dat.read_integrals(tmp_path, True)
