@@ -130,8 +130,62 @@ def prechunk_B(B, L: int = 4):
     return [ch(b) for b in Bd], sB
 
 
+def prechunk_B_chunkscaled(B, L: int = 5):
+    """(K,N) rhs digitized with PER-K-CHUNK column scales: chunk c of kc
+    rows gets its own power-of-two scales s[c] >= max|chunk| per column.
+
+    Two properties the flat prechunk_B lacks:
+      - streaming: each chunk digitizes independently (no global column
+        max over all K), so a huge operand can be digitized blockwise
+        without ever holding a second f64 copy — this is how the
+        >=140-bf tier stores v_vvvv as bf16 limbs only (12 GB of f64 +
+        transpose transients would blow a 16 GB chip);
+      - accuracy: truncation is ~2^-7L of the CHUNK max, not the global
+        column max, strictly tighter on operands with wide dynamic range.
+
+    The cross-chunk combine can no longer fold the scale in at the end;
+    exact_gemm applies s[c] per chunk before the c-reduction (an extra
+    elementwise pass over the (nc,M,N) f32 pair product).
+
+    Returns (chunks, sB): chunks[j] is (nc, kc, N) bf16, sB is (nc, 1, N)
+    f64.  kc is the largest divisor of K <= 512 (exact f32 accumulation
+    bound); K must have one >= 8 — true for every ERI matricisation this
+    feeds (K = nvirt^2 or a multiple of nbasis).
+    """
+    K, N = B.shape
+    kc = max(d for d in range(1, min(K, _MAX_K_F32) + 1) if K % d == 0)
+    assert kc >= 8, f"pathological K={K}: no usable divisor <= {_MAX_K_F32}"
+    nc = K // kc
+
+    def block(c):
+        rows = jax.lax.dynamic_slice(
+            B, (c * kc, jnp.int32(0)), (kc, N)
+        )
+        s = _pow2_scale(rows, axis=0)
+        ds = _digits(rows / (2.0 * s), L)
+        return [d.astype(jnp.bfloat16) for d in ds], s
+
+    chunks, s = jax.lax.map(block, jnp.arange(nc, dtype=jnp.int32))
+    return list(chunks), s
+
+
+def reconstruct_f32_from_B_pre(B_pre, K: int, N: int):
+    """Recombine a prechunk_B_chunkscaled operand back to its f32 value
+    (K, N) — used once per run for consumers that want a plain f32 copy
+    (e.g. the CR-CC intermediates' single v_vvvv contraction) without
+    ever carrying the f64 original."""
+    chunks, s = B_pre
+    nc, kc, _ = chunks[0].shape
+    acc = None
+    for j, ch in enumerate(chunks):
+        term = ch.astype(jnp.float32) * jnp.float32(2.0 ** (-_Q * (j + 1)))
+        acc = term if acc is None else acc + term
+    out = acc * (2.0 * s).astype(jnp.float32)
+    return out.reshape(K, N)
+
+
 def exact_einsum(sub: str, A, B, L: int = 4, maxdeg: int = 5, A_pre=None,
-                 B_pre=None):
+                 B_pre=None, A_shape=None, B_shape=None):
     """Two-operand einsum via exact_gemm (plain contractions only, same
     contract as split_gemm.split_einsum).  The L=4/maxdeg=5 default (6
     digit-pair GEMMs) carries ~2^-35-of-row/col-scale error — ~500x
@@ -141,7 +195,8 @@ def exact_einsum(sub: str, A, B, L: int = 4, maxdeg: int = 5, A_pre=None,
     A_pre/B_pre: prechunk_A/prechunk_B output for a loop-constant
     operand, in the (fa+contr)/(contr+fb) matricised layout this
     function would build — the operand array is then only consulted for
-    its SHAPE (pass the original; its values are ignored)."""
+    its SHAPE (pass the original, or None with A_shape/B_shape giving
+    the einsum-order shape, so huge operands need not exist at all)."""
     import numpy as np
 
     ins, out = sub.split("->")
@@ -150,8 +205,10 @@ def exact_einsum(sub: str, A, B, L: int = 4, maxdeg: int = 5, A_pre=None,
     fa = [c for c in sa if c not in contr]
     fb = [c for c in sb if c not in contr]
     assert set(out) == set(fa + fb) and len(set(sa)) == len(sa)
-    ash = tuple(A.shape[sa.index(c)] for c in fa + contr)
-    bsh = tuple(B.shape[sb.index(c)] for c in contr + fb)
+    a_dims = A.shape if A is not None else A_shape
+    b_dims = B.shape if B is not None else B_shape
+    ash = tuple(a_dims[sa.index(c)] for c in fa + contr)
+    bsh = tuple(b_dims[sb.index(c)] for c in contr + fb)
     M = int(np.prod(ash[: len(fa)], dtype=np.int64))
     K = int(np.prod(ash[len(fa) :], dtype=np.int64))
     N = int(np.prod(bsh[len(contr) :], dtype=np.int64))
@@ -252,13 +309,19 @@ def exact_gemm(A=None, B=None, *, A_dig=None, B_dig=None, A_pre=None,
 
 
 def _exact_gemm_pre(A, B, A_pre, B_pre, maxdeg: int):
-    """bf16 digit-GEMM path with one or both operands prechunked."""
+    """bf16 digit-GEMM path with one or both operands prechunked.
+
+    A prechunk_B_chunkscaled operand carries per-chunk scales sB of
+    shape (nc, 1, N) (vs the flat (1, N)); the scale is then applied to
+    each chunk's pair product before the cross-chunk reduction, which
+    remains exact (f32 accumulations within a chunk, f64 across)."""
     if A_pre is not None:
         Ac, sA = A_pre
         nc, _, kc = Ac[0].shape
     if B_pre is not None:
         Bc, sB = B_pre
         nc, kc, _ = Bc[0].shape
+    sB_chunked = B_pre is not None and sB.ndim == 3
     pad = None
     if A_pre is None:
         Ad, sA = digitize_A(A, len(Bc))
@@ -290,6 +353,12 @@ def _exact_gemm_pre(A, B, A_pre, B_pre, maxdeg: int):
             P = jnp.einsum(
                 "cmk,ckn->cmn", Ac[i], Bc[j], preferred_element_type=jnp.float32
             )
-            term = P.astype(jnp.float64).sum(0) * (2.0 ** (-_Q * (i + j + 2)))
+            w = 2.0 ** (-_Q * (i + j + 2))
+            if sB_chunked:
+                term = (P.astype(jnp.float64) * sB).sum(0) * w
+            else:
+                term = P.astype(jnp.float64).sum(0) * w
             acc = term if acc is None else acc + term
-    return acc * (4.0 * sA * sB)
+    # non-chunked: keep the exact expression of the direct path so the
+    # prechunked routes stay BITWISE identical to it (asserted in tests)
+    return acc * (4.0 * sA) if sB_chunked else acc * (4.0 * sA * sB)

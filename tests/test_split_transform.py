@@ -126,3 +126,47 @@ def test_exact_gemm_prechunk_paths_bitwise():
     assert np.array_equal(full, viaA)
     assert np.array_equal(full, viaB)
     assert np.array_equal(full, both)
+
+
+def test_exact_gemm_chunkscaled_B():
+    """Per-chunk-scaled B digitization: f64-grade accuracy (strictly
+    tighter than flat scales on wide-dynamic-range operands), correct
+    through both exact_gemm and exact_einsum with a shape-only operand,
+    and a faithful f32 reconstruction."""
+    from afesp_tpu.ops.exact_gemm import (
+        exact_einsum,
+        exact_gemm,
+        prechunk_B_chunkscaled,
+        reconstruct_f32_from_B_pre,
+    )
+
+    rng = np.random.default_rng(12)
+    K, N, M = 1536, 29, 17  # kc=512, nc=3
+    B = rng.standard_normal((K, N))
+    # adversarial dynamic range: chunk 1 tiny, chunk 2 huge
+    B[512:1024] *= 1e-6
+    B[1024:] *= 1e4
+    A = rng.standard_normal((M, K))
+    ref = A @ B
+    # L=6/maxdeg=7 is the production hybrid setting (spatial_presplit);
+    # error ~2^-43-of-scale * sqrt(K) accumulation
+    Bp = prechunk_B_chunkscaled(jnp.asarray(B), L=6)
+    out = np.asarray(exact_gemm(A=jnp.asarray(A), B_pre=Bp, L=6, maxdeg=7))
+    assert np.abs(out - ref).max() < 1e-11 * np.abs(ref).max()
+
+    # shape-only operand through exact_einsum (the v_vvvv solve route)
+    A4 = jnp.asarray(rng.standard_normal((3, 4, 32, 48)))  # (i,j,e,f)
+    B4 = rng.standard_normal((32, 48, 6, 8))  # (e,f,a,b), K=1536
+    Bp4 = prechunk_B_chunkscaled(jnp.asarray(B4.reshape(K, 48)), L=6)
+    ref4 = np.einsum("ijef,efab->ijab", np.asarray(A4), B4)
+    out4 = np.asarray(
+        exact_einsum(
+            "ijef,efab->ijab", A4, None, L=6, maxdeg=7,
+            B_pre=Bp4, B_shape=(32, 48, 6, 8),
+        )
+    )
+    assert np.abs(out4 - ref4).max() < 1e-11 * np.abs(ref4).max()
+
+    # f32 reconstruction round trip
+    back = np.asarray(reconstruct_f32_from_B_pre(Bp, K, N))
+    assert np.abs(back - B).max() < 2e-7 * np.abs(B).max()
