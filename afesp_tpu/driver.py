@@ -135,7 +135,10 @@ def run_calculation(
         if cfg.wants_ccsd:
             if cfg.restricted:
                 t_cc = time.perf_counter()
-                cc = do_ccsd_spatial(sys_, mp2.eri_mo, cfg, hf, rep, workdir, mesh=mesh)
+                cc = do_ccsd_spatial(
+                    sys_, mp2.eri_mo, cfg, hf, rep, workdir, mesh=mesh,
+                    slices=mp2.slices, vvvv_B=mp2.vvvv_B,
+                )
                 rep.stage_time(
                     "Time taken for restricted CCSD:", time.perf_counter() - t_cc
                 )
@@ -148,6 +151,13 @@ def run_calculation(
                     res.e_highest = tr.e_highest - 0.0
                     calcname = tr.calcname
             else:
+                if mp2.eri_mo is None:
+                    raise ValueError(
+                        "spin-orbital CCSD needs the dense MO tensor; the"
+                        f" streaming tier (nbasis >= {mp2_mod.STREAM_NBASIS})"
+                        " currently serves the spatial formulation only —"
+                        " use a *_spatial calc_type at this scale"
+                    )
                 t_cc = time.perf_counter()
                 cc = do_ccsd_spinorb(sys_, mp2.eri_mo, cfg, hf, rep, workdir, mesh=mesh)
                 rep.stage_time(

@@ -89,6 +89,28 @@ class IntStore:
         CC stages)."""
         self._eri_dev = None
 
+    _packed_dev: object = None  # cached device PACKED store (stream tier)
+
+    def packed_on_device(self):
+        """The 8-fold tri-packed store as a device array (NO unpack): the
+        only resident AO-ERI form on the >=140-bf streaming tier, where
+        the dense (n,n,n,n) f64 tensor (7.3 GB at 174 bf) no longer fits
+        next to the MO slices.  HF's gather-digitized Fock consts and the
+        sliced MO transform (methods/mo_slices.py) both read it."""
+        if self._packed_dev is None:
+            import jax.numpy as jnp
+
+            from ..ops.packed_eri import pack_eri
+
+            packed = (
+                self.eri_packed if self.eri_packed is not None else pack_eri(self.eri)
+            )
+            self._packed_dev = jnp.asarray(packed)
+        return self._packed_dev
+
+    def free_device_packed(self) -> None:
+        self._packed_dev = None
+
 
 def _parse_numeric_table(path: Path, ncols: int) -> np.ndarray:
     """Whitespace-table parser.

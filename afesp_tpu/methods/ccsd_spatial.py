@@ -199,9 +199,15 @@ class SpatialHybridConsts(NamedTuple):
     built once per solve (make_cc_solver's precompute hook): the
     split-f32 halves of v_vvvv, plus the pre-digitized bf16 chunk forms
     (ops/exact_gemm.prechunk_op) of every constant-ERI side of the
-    emulated-f64 contractions now routed through digit GEMMs."""
+    emulated-f64 contractions now routed through digit GEMMs.
+
+    vvvv_B (>=140-bf external-slices tier): v_vvvv exists ONLY as this
+    per-chunk-scaled digit form (prechunk_B_chunkscaled of the (ef, ab)
+    matricisation, built by the streaming transform) — Slices.v_vvvv is
+    None and the o^2v^4 contraction runs from these limbs directly."""
 
     digs: dict  # spec -> prechunk_op output (const operand A side)
+    vvvv_B: tuple | None = None
 
 
 # Contractions of the hybrid iteration whose FIRST operand is a
@@ -241,6 +247,21 @@ def spatial_presplit(v: Slices, kc: int = 64) -> SpatialHybridConsts:
         for spec, name in _DIG_CONST_SPECS
     }
     return SpatialHybridConsts(digs=digs)
+
+
+def spatial_presplit_ext(v: Slices, vvvv_B) -> SpatialHybridConsts:
+    """External-slices variant: v.v_vvvv is None (the >=140-bf tier never
+    materialises it in f64); its digit form arrives prebuilt from the
+    streaming transform, everything else prechunks from the f64 slices
+    inside the solve program as usual."""
+    from ..ops.exact_gemm import prechunk_op
+
+    digs = {
+        spec: prechunk_op(spec, "A", getattr(v, name), L=6)
+        for spec, name in _DIG_CONST_SPECS
+        if name != "v_vvvv"
+    }
+    return SpatialHybridConsts(digs=digs, vvvv_B=vvvv_B)
 
 
 def _iteration_core(
@@ -287,6 +308,16 @@ def _iteration_core(
 
         if consts is None:
             vvvv_term = 0.5 * split_einsum("efab,ijef->ijab", v.v_vvvv, c_oovv)
+        elif consts.vvvv_B is not None:
+            # external-slices tier: v_vvvv exists only as per-chunk bf16
+            # limbs (see SpatialHybridConsts.vvvv_B); contract from them
+            from ..ops.exact_gemm import exact_einsum
+
+            nv = t2.shape[-1]
+            vvvv_term = 0.5 * exact_einsum(
+                "ijef,efab->ijab", c_oovv, None, L=6, maxdeg=7,
+                B_pre=consts.vvvv_B, B_shape=(nv, nv, nv, nv),
+            )
         else:
             vvvv_term = 0.5 * ce("efab,ijef->ijab", v.v_vvvv, c_oovv)
     else:
@@ -322,11 +353,15 @@ def cc_energy_restricted(t1, t2, t2_old, v_oovv):
 
 
 # module-level singleton (see ccsd_spinorb.py for why)
-from ..ops.cc_step import init_cc_state, make_cc_solver  # noqa: E402
+from ..ops.cc_step import init_cc_state, make_cc_solver, make_cc_solver_pre  # noqa: E402
 
 ccsd_spatial_solver = make_cc_solver(ccsd_iteration, cc_energy_restricted)
 ccsd_spatial_solver_hybrid = make_cc_solver(
     ccsd_iteration_hybrid, cc_energy_restricted, precompute=spatial_presplit
+)
+# external-slices (>=140 bf): v_vvvv arrives as prebuilt digit limbs
+ccsd_spatial_solver_ext = make_cc_solver_pre(
+    ccsd_iteration_hybrid, cc_energy_restricted, precompute=spatial_presplit_ext
 )
 
 
@@ -347,15 +382,32 @@ def spatial_cc_init(eri_mo, levels, *, nocc: int):
     return v, D_ia, D_ijab, t1, t2, e0, r0
 
 
+@partial(jax.jit, static_argnames=("nocc",))
+def spatial_cc_init_slices(v: Slices, levels, *, nocc: int):
+    """spatial_cc_init for pre-built slices (the streaming-transform
+    tier, where no dense MO tensor ever exists; v.v_vvvv may be None)."""
+    D_ia, D_ijab = denominators(levels, nocc)
+    t1 = jnp.zeros_like(D_ia)
+    t2 = v.v_oovv / D_ijab
+    e0, r0 = cc_energy_restricted(t1, t2, jnp.zeros_like(t2), v.v_oovv)
+    return D_ia, D_ijab, t1, t2, e0, r0
+
+
 def do_ccsd_spatial(
     sys_: dat.System,
-    eri_mo: jnp.ndarray,
+    eri_mo: jnp.ndarray | None,
     cfg: Config,
     hf: HFResult,
     rep: Reporter | None = None,
     workdir=".",
     mesh=None,
+    slices: Slices | None = None,
+    vvvv_B=None,
 ) -> CCSDResult:
+    """eri_mo path: dense MO tensor (the <=~140-bf tiers).  slices path
+    (eri_mo None): pre-built physicist slices from the streaming
+    transform with v_vvvv present ONLY as vvvv_B digit limbs — the
+    >=140-bf tier where no dense n^4 f64 tensor fits on device."""
     from pathlib import Path
 
     from .. import warmup
@@ -371,7 +423,19 @@ def do_ccsd_spatial(
 
     nocc, nvirt = sys_.nocc, sys_.nvirt
     levels = jnp.asarray(hf.levels)
-    v, D_ia, D_ijab, t1, t2, e0, r0 = spatial_cc_init(eri_mo, levels, nocc=nocc)
+    external = eri_mo is None
+    if external:
+        assert slices is not None and vvvv_B is not None
+        assert cfg.ccsd_precision in ("hybrid", "pallas", "fused"), (
+            "the streaming-slices tier stores v_vvvv as digit limbs; "
+            "all-f64 ccsd_precision is not available above the dense cutoff"
+        )
+        v = slices
+        D_ia, D_ijab, t1, t2, e0, r0 = spatial_cc_init_slices(
+            v, levels, nocc=nocc
+        )
+    else:
+        v, D_ia, D_ijab, t1, t2, e0, r0 = spatial_cc_init(eri_mo, levels, nocc=nocc)
 
     rep.write(" Forming initial amplitude guesses...")
     amp_in = Path(workdir) / "amplitudes_in.npz"
@@ -384,9 +448,12 @@ def do_ccsd_spatial(
 
     # "pallas" only changes the triples finale; the CC solve itself runs
     # the hybrid split-f32 path
-    solver = get_spatial_solver(
-        vvvv_split=cfg.ccsd_precision in ("hybrid", "pallas", "fused")
-    )
+    if external:
+        solver = ccsd_spatial_solver_ext
+    else:
+        solver = get_spatial_solver(
+            vvvv_split=cfg.ccsd_precision in ("hybrid", "pallas", "fused")
+        )
 
     rep.write(f" Time taken: {time.perf_counter() - t_stage:8.6f} s")
     rep.write("")
@@ -398,6 +465,8 @@ def do_ccsd_spatial(
 
     state = init_cc_state(t1, t2, cfg.ccsd_diis_n_errmat)
     t_solve = time.perf_counter()
+    if external:
+        mesh = None  # GSPMD sharding of the digit-limb solve: not yet wired
     if mesh is not None:
         # multi-chip: the SAME fused solve, GSPMD-sharded over the
         # virtual axis (parallel/ccsd_shard.py)
@@ -406,6 +475,13 @@ def do_ccsd_spatial(
         state, n_iter, done, hist_e, hist_rms = ccsd_solve_sharded(
             mesh, solver, state, v, D_ia, D_ijab, v.v_oovv, e0,
             jnp.float64(cfg.ccsd_e_tol), jnp.float64(cfg.ccsd_t_tol),
+            nerr=cfg.ccsd_diis_n_errmat, maxiter=cfg.ccsd_maxiter,
+        )
+    elif external:
+        state, n_iter, done, hist_e, hist_rms = solver(
+            state, v, D_ia, D_ijab, v.v_oovv, e0,
+            jnp.float64(cfg.ccsd_e_tol), jnp.float64(cfg.ccsd_t_tol),
+            vvvv_B,
             nerr=cfg.ccsd_diis_n_errmat, maxiter=cfg.ccsd_maxiter,
         )
     else:
@@ -460,6 +536,18 @@ def do_ccsd_spatial(
                 " Significant multireference character detected,"
                 " CCSD result might be unreliable!"
             )
+
+    if external:
+        # downstream (CR intermediates, ccsd.f90:2513's one v_vvvv
+        # contraction) runs f32 under hybrid precision anyway:
+        # reconstruct the f32 copy from the limbs, never the f64
+        from ..ops.exact_gemm import reconstruct_f32_from_B_pre
+
+        nv2 = nvirt * nvirt
+        vvvv_f32 = jax.jit(
+            reconstruct_f32_from_B_pre, static_argnums=(1, 2)
+        )(vvvv_B, nv2, nv2).reshape((nvirt,) * 4)
+        v = v._replace(v_vvvv=vvvv_f32)
 
     # amplitudes stay on device (see ccsd_spinorb.py — the tunnel's
     # device->host readback is ~30 MB/s)

@@ -31,7 +31,20 @@ from .hf import HFResult
 @dataclasses.dataclass
 class MP2Result:
     e_mp2: float
-    eri_mo: jnp.ndarray  # dense chemist (pq|rs) in the canonical MO basis
+    # dense chemist (pq|rs) in the canonical MO basis; None on the
+    # streaming tier (n >= STREAM_NBASIS), where `slices` + `vvvv_B`
+    # carry the MO integrals instead and no dense n^4 tensor ever exists
+    eri_mo: jnp.ndarray | None
+    slices: object = None  # ccsd_spatial.Slices (v_vvvv=None)
+    vvvv_B: object = None  # prechunk_B_chunkscaled digit form of v_vvvv
+
+
+# Above this basis size the dense MO tensor + its CCSD digit forms no
+# longer fit one chip's HBM (at 174 bf the dense f64 alone is 7.3 GB);
+# the pipeline switches to the packed-resident streaming tier:
+# methods/mo_slices.py transform, digit-limb v_vvvv, gather-digitized
+# Fock consts.
+STREAM_NBASIS = 140
 
 
 @jax.jit
@@ -204,6 +217,20 @@ def mp2_energy_naive(
     return jnp.sum(ov * (2.0 * ov - exch) / denom)
 
 
+@jax.jit
+def mp2_energy_from_oovv(v_oovv: jnp.ndarray, levels_o, levels_v) -> jnp.ndarray:
+    """MP2 energy from the physicist <ij|ab> slice: (ia|jb) = v_oovv[ijab]
+    (mp2.f90:418-440 with the slice the streaming transform already has)."""
+    denom = (
+        levels_o[:, None, None, None]
+        + levels_o[None, :, None, None]
+        - levels_v[None, None, :, None]
+        - levels_v[None, None, None, :]
+    )
+    exch = jnp.transpose(v_oovv, (0, 1, 3, 2))  # (ib|ja) = <ij|ba>
+    return jnp.sum(v_oovv * (2.0 * v_oovv - exch) / denom)
+
+
 @partial(jax.jit, static_argnames=("nocc",))
 def mp2_energy(eri_mo: jnp.ndarray, levels: jnp.ndarray, *, nocc: int) -> jnp.ndarray:
     ov = eri_mo[:nocc, nocc:, :nocc, nocc:]  # (ia|jb)
@@ -233,7 +260,39 @@ def do_mp2_spatial(
     rep.write(" Performing AO to MO ERI transformation...")
 
     n = sys_.nbasis
-    if n**4 > 2e7 and jax.default_backend() in ("tpu", "axon"):
+    nocc = sys_.nel // 2
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if (n >= STREAM_NBASIS and on_tpu) or _force_stream():
+        # streaming tier: packed store -> physicist slices directly
+        # (methods/mo_slices.py), v_vvvv immediately re-expressed as
+        # per-chunk bf16 digit limbs and the f64 copy dropped — the only
+        # route that fits 174 bf on one 16 GB chip
+        from ..ops.exact_gemm import prechunk_B_chunkscaled
+        from .mo_slices import ao_to_mo_slices
+
+        slices = ao_to_mo_slices(
+            ints.packed_on_device(), jnp.asarray(hf.coeff), n=n, nocc=nocc
+        )
+        ints.free_device_packed()
+        nv = n - nocc
+        vvvv_B = jax.jit(partial(prechunk_B_chunkscaled, L=6))(
+            slices.v_vvvv.reshape(nv * nv, nv * nv)
+        )
+        jax.block_until_ready(vvvv_B[1])
+        slices = slices._replace(v_vvvv=None)  # drop the 8 B/elem f64 copy
+
+        rep.write(" Calculating MP2 energy...")
+        lv = jnp.asarray(hf.levels)
+        e_mp2 = float(mp2_energy_from_oovv(slices.v_oovv, lv[:nocc], lv[nocc:]))
+        rep.write(f" MP2 correlation energy (Hartree): {e_mp2:15.8f}")
+        if cfg.write_fcidump:
+            rep.write(" FCIDUMP skipped: no dense MO tensor on the streaming tier.")
+        rep.stage_time(
+            "Time taken for restricted MP2:", time.perf_counter() - t_start
+        )
+        return MP2Result(e_mp2=e_mp2, eri_mo=None, slices=slices, vvvv_B=vvvv_B)
+
+    if n**4 > 2e7 and on_tpu:
         # large basis on TPU: split-f32 MXU transform over the shared
         # device ERI (uploaded packed, 8x smaller through the tunnel)
         eri_mo = _ao_to_mo_split(ints.eri_on_device(), jnp.asarray(hf.coeff))
@@ -247,7 +306,6 @@ def do_mp2_spatial(
     ints.free_device_eri()
 
     rep.write(" Calculating MP2 energy...")
-    nocc = sys_.nel // 2
     e_mp2 = float(mp2_energy(eri_mo, jnp.asarray(hf.levels), nocc=nocc))
 
     rep.write(f" MP2 correlation energy (Hartree): {e_mp2:15.8f}")
@@ -259,3 +317,11 @@ def do_mp2_spatial(
 
     rep.stage_time("Time taken for restricted MP2:", time.perf_counter() - t_start)
     return MP2Result(e_mp2=e_mp2, eri_mo=eri_mo)
+
+
+def _force_stream() -> bool:
+    """AFESP_FORCE_STREAM=1: route any size through the streaming tier —
+    test/validation hook (the CPU suite exercises the tier at small n)."""
+    import os
+
+    return os.environ.get("AFESP_FORCE_STREAM", "") == "1"

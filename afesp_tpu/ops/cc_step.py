@@ -195,26 +195,59 @@ def make_cc_solver(iteration_fn, energy_fn, precompute=None):
     @partial(jax.jit, static_argnames=("nerr", "maxiter"))
     def solve(state0, v, D_ia, D_ijab, oovv, e0, e_tol, t_tol, *, nerr, maxiter):
         consts = precompute(v) if precompute is not None else None
-        hist_e = jnp.zeros(maxiter)
-        hist_rms = jnp.zeros(maxiter)
-
-        def cond(carry):
-            _, it, _, done, _, _ = carry
-            return (it < maxiter) & ~done
-
-        def body(carry):
-            state, it, e_old, _, hist_e, hist_rms = carry
-            state, e, rms2 = body_step(
-                state, v, D_ia, D_ijab, oovv, nerr=nerr, consts=consts
-            )
-            done = (jnp.sqrt(rms2) < t_tol) & (jnp.abs(e - e_old) < e_tol)
-            hist_e = hist_e.at[it].set(e)
-            hist_rms = hist_rms.at[it].set(rms2)
-            return state, it + 1, e, done, hist_e, hist_rms
-
-        state, n_iter, _, done, hist_e, hist_rms = jax.lax.while_loop(
-            cond, body, (state0, jnp.int32(0), e0, jnp.bool_(False), hist_e, hist_rms)
+        return _run_solve(
+            body_step, state0, v, D_ia, D_ijab, oovv, e0, e_tol, t_tol,
+            consts, nerr, maxiter,
         )
-        return state, n_iter, done, hist_e, hist_rms
 
     return solve
+
+
+def make_cc_solver_pre(iteration_fn, energy_fn, precompute):
+    """make_cc_solver variant whose solve takes an extra `pre` operand:
+    loop-constant data built OUTSIDE the solve program (e.g. the
+    streaming transform's digit-form v_vvvv, which only ever exists as
+    bf16 limbs on the >=140-bf tier).  precompute(v, pre) -> consts runs
+    once per solve inside the program, exactly like make_cc_solver's
+    hook, with `pre` threaded through."""
+    body_step = _make_step_body(iteration_fn, energy_fn)
+
+    @partial(jax.jit, static_argnames=("nerr", "maxiter"))
+    def solve(
+        state0, v, D_ia, D_ijab, oovv, e0, e_tol, t_tol, pre, *, nerr, maxiter
+    ):
+        consts = precompute(v, pre)
+        return _run_solve(
+            body_step, state0, v, D_ia, D_ijab, oovv, e0, e_tol, t_tol,
+            consts, nerr, maxiter,
+        )
+
+    return solve
+
+
+def _run_solve(
+    body_step, state0, v, D_ia, D_ijab, oovv, e0, e_tol, t_tol, consts,
+    nerr, maxiter,
+):
+    """The shared while_loop core of both solver builders."""
+    hist_e = jnp.zeros(maxiter)
+    hist_rms = jnp.zeros(maxiter)
+
+    def cond(carry):
+        _, it, _, done, _, _ = carry
+        return (it < maxiter) & ~done
+
+    def body(carry):
+        state, it, e_old, _, hist_e, hist_rms = carry
+        state, e, rms2 = body_step(
+            state, v, D_ia, D_ijab, oovv, nerr=nerr, consts=consts
+        )
+        done = (jnp.sqrt(rms2) < t_tol) & (jnp.abs(e - e_old) < e_tol)
+        hist_e = hist_e.at[it].set(e)
+        hist_rms = hist_rms.at[it].set(rms2)
+        return state, it + 1, e, done, hist_e, hist_rms
+
+    state, n_iter, _, done, hist_e, hist_rms = jax.lax.while_loop(
+        cond, body, (state0, jnp.int32(0), e0, jnp.bool_(False), hist_e, hist_rms)
+    )
+    return state, n_iter, done, hist_e, hist_rms

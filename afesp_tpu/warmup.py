@@ -265,6 +265,13 @@ def start(sys_, cfg) -> None:
     not requested or a prefetch is already running."""
     if not cfg.wants_ccsd or "cc" in _THREADS:
         return
+    from .methods.mp2 import STREAM_NBASIS
+
+    if sys_.nbasis >= STREAM_NBASIS:
+        # the streaming tier's programs (external-slices solve, sliced
+        # transform) have different signatures than the dense-tier ones
+        # lowered below — prefetching the wrong set only burns the core
+        return
     # Above the AOT threshold the prefetch only .lower().compile()s from
     # abstract shapes — it can NOT trigger the expensive server-side
     # program load (only a first execution does, measured 12-60 s for
