@@ -140,6 +140,95 @@ def _fock_build_split(H, D, consts, iu=None, packed_f32=False):
     return Fp.astype(jnp.float32) if packed_f32 else Fp
 
 
+def _tri_rows(npair: int, ncols: int, budget_elems: float = 1.6e8) -> int:
+    """Largest divisor of npair whose (rows, ncols) f64 gather block fits
+    the budget — the stream-consts builders digitize row-blockwise."""
+    cap = max(1, int(budget_elems / ncols))
+    return max(d for d in range(1, npair + 1) if npair % d == 0 and d <= cap)
+
+
+@partial(jax.jit, static_argnames=("n", "L"))
+def _fock_stream_consts(packed, tk, tl, *, n: int, L: int = 6):
+    """Stream-tier Fock constants, built by GATHER from the tri-packed
+    store — the >=STREAM_NBASIS replacement for _fock_split_consts,
+    which needs the dense (n,n,n,n) tensor (7.3 GB at 174 bf) plus
+    full-square digitizations (12.9 GB).  Here:
+
+      J: the symmetric pair matrix P2[p,q] = (ij|kl) over TRI pair
+         indices p=(i>=j), q=(k>=l) — n^4/4 elements;
+      K: tri ROWS p=(i>=j) of the exchange matricisation (ik|jl) over
+         full columns (k,l) — n^4/2 elements (F is symmetric, so tri
+         rows suffice; the build scatters back to full).
+
+    Both digitized row-blockwise to int8 limbs with per-row scales
+    (L=6: ~2^-42-of-scale, f64-grade for the SCF loop), 6+3 = 9 B per
+    held element ~= 4.2 GB at 174 bf vs _fock_split_consts' 12.9 GB.
+    Index arithmetic is the reference's eri_ind (integrals.f90:196-210),
+    int32-exact for n <= 300."""
+    from ..ops.exact_gemm import digitize_A
+
+    npair = n * (n + 1) // 2
+    i32 = jnp.int32
+
+    def pair(x, y):
+        lo, hi = jnp.minimum(x, y), jnp.maximum(x, y)
+        return hi * (hi + 1) // 2 + lo
+
+    q = jnp.arange(npair, dtype=i32)
+    kk = jnp.arange(n, dtype=i32)
+    kl_flat = pair(kk[:, None], kk[None, :]).reshape(-1)  # (n^2,)
+
+    bj = _tri_rows(npair, npair)
+
+    def j_block(p0):
+        rows = p0 + jnp.arange(bj, dtype=i32)
+        blk = packed[pair(rows[:, None], q[None, :])]
+        d, s = digitize_A(blk, L)
+        return d, s
+
+    Jd, Js = jax.lax.map(j_block, jnp.arange(npair // bj, dtype=i32) * bj)
+    J_dig = ([d.reshape(npair, npair) for d in Jd], Js.reshape(npair, 1))
+
+    bk = _tri_rows(npair, n * n)
+
+    def k_block(p0):
+        rows = p0 + jnp.arange(bk, dtype=i32)
+        ik = pair(tk[rows][:, None], kk[None, :])  # (bk, n) pair(i,k)
+        jl = pair(tl[rows][:, None], kk[None, :])  # (bk, n) pair(j,l)
+        idx = pair(ik[:, :, None], jl[:, None, :])  # (bk, n, n) -> (ik|jl)
+        blk = packed[idx].reshape(bk, n * n)
+        d, s = digitize_A(blk, L)
+        return d, s
+
+    Kd, Ks = jax.lax.map(k_block, jnp.arange(npair // bk, dtype=i32) * bk)
+    K_dig = ([d.reshape(npair, n * n) for d in Kd], Ks.reshape(npair, 1))
+    return J_dig, K_dig
+
+
+@partial(jax.jit, static_argnames=("packed_f32",))
+def _fock_build_stream(H, D, consts, tk, tl, iu=None, packed_f32=False):
+    """F = Hcore + 2J - K from the stream consts (_fock_stream_consts):
+    J as a tri-pair GEMV with symmetry-weighted density (off-diagonal
+    pairs count twice), K as a tri-row GEMV over the full density, both
+    exact integer-limb digit GEMMs; the symmetric full matrices are
+    scattered back from their triangles.  Same download contract as
+    _fock_build_split (packed upper triangle via iu)."""
+    from ..ops.exact_gemm import exact_gemm
+
+    n = H.shape[0]
+    J_dig, K_dig = consts
+    w = jnp.where(tk == tl, 1.0, 2.0) * D[tk, tl]
+    Jt = exact_gemm(B=w[:, None], A_dig=J_dig)[:, 0]
+    Kt = exact_gemm(B=D.reshape(-1, 1), A_dig=K_dig)[:, 0]
+    J = jnp.zeros((n, n)).at[tk, tl].set(Jt).at[tl, tk].set(Jt)
+    K = jnp.zeros((n, n)).at[tk, tl].set(Kt).at[tl, tk].set(Kt)
+    F = H + 2.0 * J - K
+    if iu is None:
+        return F
+    Fp = F[iu[0], iu[1]]
+    return Fp.astype(jnp.float32) if packed_f32 else Fp
+
+
 def purify_density(Fp, *, nocc, tol=1e-14, maxiter=100):
     """Occupied-subspace projector of a symmetric (orthogonal-basis) Fock
     by Palser–Manolopoulos canonical purification (PM98) — NO
@@ -203,8 +292,11 @@ def purify_density(Fp, *, nocc, tol=1e-14, maxiter=100):
     return D, n_it
 
 
-@partial(jax.jit, static_argnames=("nocc", "nerr", "maxiter"))
-def _scf_prelude_device(H, S, X, consts, iu, *, nocc, nerr, maxiter):
+@partial(jax.jit, static_argnames=("nocc", "nerr", "maxiter", "stream"))
+def _scf_prelude_device(
+    H, S, X, consts, iu, tk=None, tl=None, *, nocc, nerr, maxiter,
+    stream: bool = False,
+):
     """Device-resident DIIS SCF prelude: one XLA dispatch that iterates
     F' = X^T F X -> purified density -> exact-GEMM Fock -> on-device
     Pulay DIIS until the density rms reaches ~1e-8.
@@ -228,11 +320,18 @@ def _scf_prelude_device(H, S, X, consts, iu, *, nocc, nerr, maxiter):
 
     n = H.shape[0]
 
-    def fock(D):
-        d = D.reshape(-1, 1)
-        J = exact_gemm(B=d, A_dig=consts[0]).reshape(n, n)
-        K = exact_gemm(B=d, A_dig=consts[1]).reshape(n, n)
-        return H + 2.0 * J - K
+    if stream:
+
+        def fock(D):
+            return _fock_build_stream(H, D, consts, tk, tl)
+
+    else:
+
+        def fock(D):
+            d = D.reshape(-1, 1)
+            J = exact_gemm(B=d, A_dig=consts[0]).reshape(n, n)
+            K = exact_gemm(B=d, A_dig=consts[1]).reshape(n, n)
+            return H + 2.0 * J - K
 
     def cond(carry):
         return (~carry[-1]) & (carry[-2] < maxiter)
@@ -372,19 +471,38 @@ def do_rhf(
     H = ints.core_hamil
     eri = ints.eri
     fock_consts = eri_K_host = None
+    stream = False
+    tk_dev = tl_dev = None
     tp = time.perf_counter()
     if n >= _TPU_FOCK_NBASIS and (eri is not None or ints.eri_packed is not None):
-        if jax.default_backend() in ("tpu", "axon"):
-            # split-f32 MXU Fock path: packed upload (8x smaller through
-            # the tunnel) + one-time device pre-split of the J/K
-            # matricisations; every Fock build is then two native-f32
-            # split GEMVs instead of host BLAS or emulated-f64 einsums
-            eri_dev = ints.eri_on_device()
-            jax.block_until_ready(eri_dev)
-            tp = _prof("eri upload+unpack", tp)
-            fock_consts = _fock_split_consts(eri_dev)
-            jax.block_until_ready(fock_consts)
-            tp = _prof("fock digitize", tp)
+        from .mp2 import STREAM_NBASIS, _force_stream
+
+        if jax.default_backend() in ("tpu", "axon") or _force_stream():
+            stream = n >= STREAM_NBASIS or _force_stream()
+            if stream:
+                # packed-resident tier: J/K consts gathered + digitized
+                # straight from the tri-packed store — no dense tensor
+                packed_dev = ints.packed_on_device()
+                jax.block_until_ready(packed_dev)
+                tp = _prof("packed upload", tp)
+                tk_host, tl_host = np.tril_indices(n)
+                tk_dev = jnp.asarray(tk_host.astype(np.int32))
+                tl_dev = jnp.asarray(tl_host.astype(np.int32))
+                fock_consts = _fock_stream_consts(packed_dev, tk_dev, tl_dev, n=n)
+                jax.block_until_ready(fock_consts[0][1])
+                tp = _prof("fock stream digitize", tp)
+            else:
+                # split-f32 MXU Fock path: packed upload (8x smaller
+                # through the tunnel) + one-time device pre-split of the
+                # J/K matricisations; every Fock build is then two
+                # native-f32 split GEMVs instead of host BLAS or
+                # emulated-f64 einsums
+                eri_dev = ints.eri_on_device()
+                jax.block_until_ready(eri_dev)
+                tp = _prof("eri upload+unpack", tp)
+                fock_consts = _fock_split_consts(eri_dev)
+                jax.block_until_ready(fock_consts)
+                tp = _prof("fock digitize", tp)
             H_dev = jnp.asarray(H)
             iu_host = np.triu_indices(n)
             iu_dev = (jnp.asarray(iu_host[0]), jnp.asarray(iu_host[1]))
@@ -410,8 +528,9 @@ def do_rhf(
         # zero and the history shapes are degenerate
         fp, pre_iters = _scf_prelude_device(
             H_dev, jnp.asarray(S), jnp.asarray(X), fock_consts, iu_dev,
+            tk_dev, tl_dev,
             nocc=nocc, nerr=max(cfg.scf_diis_n_errmat, 2),
-            maxiter=min(cfg.scf_maxiter, 40),
+            maxiter=min(cfg.scf_maxiter, 40), stream=stream,
         )
         fp = np.asarray(fp, dtype=np.float64)
         F = np.empty((n, n))
@@ -484,13 +603,22 @@ def do_rhf(
             # guess — f32 noise would just cost ~6 re-convergence
             # iterations (the iteration-1 rms vs D_old=0 is meaningless)
             early = rms > 1e-3 and not prelude_guess
-            fp = np.asarray(
-                _fock_build_split(
-                    H_dev, jnp.asarray(D), fock_consts, iu_dev,
-                    packed_f32=early,
-                ),
-                dtype=np.float64,
-            )
+            if stream:
+                fp = np.asarray(
+                    _fock_build_stream(
+                        H_dev, jnp.asarray(D), fock_consts, tk_dev, tl_dev,
+                        iu_dev, packed_f32=early,
+                    ),
+                    dtype=np.float64,
+                )
+            else:
+                fp = np.asarray(
+                    _fock_build_split(
+                        H_dev, jnp.asarray(D), fock_consts, iu_dev,
+                        packed_f32=early,
+                    ),
+                    dtype=np.float64,
+                )
             F = np.empty((n, n))
             F[iu_host] = fp
             F.T[iu_host] = fp

@@ -88,6 +88,83 @@ def test_fock_build_split_matches_f64():
     assert np.abs(out - ref).max() < 1e-12 * max(np.abs(ref).max(), 1.0)
 
 
+def test_fock_build_stream_matches_dense():
+    """The gather-digitized stream Fock consts (packed-resident tier)
+    must reproduce the dense einsum Fock to f64 grade."""
+    from afesp_tpu.methods.hf import _fock_build_stream, _fock_stream_consts
+
+    n = 14
+    eri = _symmetric_eri(n, seed=5)
+    packed = jnp.asarray(pack_eri(eri))
+    rng = np.random.default_rng(6)
+    H = rng.standard_normal((n, n))
+    H = H + H.T
+    C = rng.standard_normal((n // 2, n))
+    D = C.T @ C
+    ref = (
+        H
+        + 2.0 * np.einsum("ijkl,kl->ij", eri, D)
+        - np.einsum("ikjl,kl->ij", eri, D)
+    )
+    tk, tl = (jnp.asarray(x.astype(np.int32)) for x in np.tril_indices(n))
+    consts = _fock_stream_consts(packed, tk, tl, n=n)
+    out = np.asarray(
+        _fock_build_stream(jnp.asarray(H), jnp.asarray(D), consts, tk, tl)
+    )
+    assert np.abs(out - ref).max() < 1e-11 * max(np.abs(ref).max(), 1.0)
+    # packed upper-triangle download path
+    iu = np.triu_indices(n)
+    fp = np.asarray(
+        _fock_build_stream(
+            jnp.asarray(H), jnp.asarray(D), consts, tk, tl,
+            (jnp.asarray(iu[0]), jnp.asarray(iu[1])),
+        )
+    )
+    assert np.abs(fp - ref[iu]).max() < 1e-11 * max(np.abs(ref).max(), 1.0)
+
+
+def test_scf_prelude_stream_matches_dense_consts():
+    """The device SCF prelude driven by stream consts converges to the
+    same Fock as with the dense-digitized consts (same Fock map)."""
+    from afesp_tpu.methods.hf import (
+        _fock_split_consts,
+        _fock_stream_consts,
+        _scf_prelude_device,
+    )
+
+    n, nocc = 12, 3
+    eri = _symmetric_eri(n, seed=13)
+    # make it diagonally dominant enough to behave like a Fock operator
+    rng = np.random.default_rng(14)
+    Hd = np.diag(np.linspace(-3.0, 2.0, n))
+    H = Hd + 0.05 * _sym(rng, n)
+    S = np.eye(n) + 0.01 * _sym(rng, n)
+    from afesp_tpu.methods.hf import symmetric_orthogonaliser_np
+
+    X = symmetric_orthogonaliser_np(S)
+    iu = np.triu_indices(n)
+    iu_d = (jnp.asarray(iu[0]), jnp.asarray(iu[1]))
+    args = (jnp.asarray(H), jnp.asarray(S), jnp.asarray(X))
+    dense_c = _fock_split_consts(jnp.asarray(eri))
+    fp_d, _ = _scf_prelude_device(
+        *args, dense_c, iu_d, nocc=nocc, nerr=6, maxiter=40
+    )
+    tk, tl = (jnp.asarray(x.astype(np.int32)) for x in np.tril_indices(n))
+    stream_c = _fock_stream_consts(jnp.asarray(pack_eri(eri)), tk, tl, n=n)
+    fp_s, _ = _scf_prelude_device(
+        *args, stream_c, iu_d, tk, tl, nocc=nocc, nerr=6, maxiter=40,
+        stream=True,
+    )
+    a, b = np.asarray(fp_d), np.asarray(fp_s)
+    assert np.isfinite(a).all() and np.isfinite(b).all()
+    assert np.abs(a - b).max() < 1e-6 * max(np.abs(a).max(), 1.0)
+
+
+def _sym(rng, n):
+    A = rng.standard_normal((n, n))
+    return (A + A.T) / 2.0
+
+
 def test_pack_from_table_matches_dense_pack():
     """The table->packed fast path (io/dat.pack_from_table) must agree
     bitwise with packing the scattered dense tensor."""
