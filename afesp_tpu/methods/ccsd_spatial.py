@@ -99,9 +99,15 @@ def denominators(levels: jnp.ndarray, nocc: int) -> tuple[jnp.ndarray, jnp.ndarr
 def _intermediates(t1, t2, v: Slices, digs=None):
     """Piecuch Table-1 intermediates (debug twin, ccsd.f90:1334-1454).
 
-    With `digs` (the precomputed prechunk_op dict, hybrid solve), the
-    heavyweight constant-ERI contractions run as pre-digitized bf16
-    digit GEMMs instead of emulated-f64 einsums."""
+    With `digs` (the precomputed prechunk_op dict, hybrid solve), EVERY
+    contraction with a slice-sized operand runs as a bf16 digit GEMM:
+    prechunked (ce) for the smaller constant slices, digitized in-loop
+    (xe) for the vvov-sized ones — prechunking those too would hold
+    ~2.9 GB of extra limbs at nvirt=159.  Plain f64 einsums are not an
+    option at that scale: XLA's emulated-f64 dot expands each operand
+    into EIGHT f32 limb arrays (x1.6 tile padding, multiple live
+    copies) — a single es("ebma,me->ba", v_vvov, t1) allocated 12 GB of
+    HLO temp in the 174-bf solve (measured OOM)."""
     es = partial(jnp.einsum, optimize=True)
 
     def ce(spec, A, B):
@@ -111,24 +117,31 @@ def _intermediates(t1, t2, v: Slices, digs=None):
 
         return exact_einsum(spec, A, B, A_pre=digs[spec], maxdeg=7)
 
+    def xe(spec, A, B):
+        if digs is None:
+            return es(spec, A, B)
+        from ..ops.exact_gemm import exact_einsum
+
+        return exact_einsum(spec, A, B, L=6, maxdeg=7)
+
     asym_t2 = 2.0 * t2 - jnp.transpose(t2, (1, 0, 2, 3))
     c_oovv = t2 + es("ia,jb->ijab", t1, t1)
 
     # I_ai = (2 v_oovv[m,i,e,a] - v_oovv[m,i,a,e]) t1[m,e]        (ccsd.f90:1336)
-    I_vo = 2.0 * es("miea,me->ai", v.v_oovv, t1) - es("miae,me->ai", v.v_oovv, t1)
+    I_vo = 2.0 * ce("miea,me->ai", v.v_oovv, t1) - ce("miae,me->ai", v.v_oovv, t1)
 
     # I_ba (ccsd.f90:1352-1353)
     I_vv = (
-        2.0 * es("ebma,me->ba", v.v_vvov, t1)
-        - es("bema,me->ba", v.v_vvov, t1)
+        2.0 * xe("ebma,me->ba", v.v_vvov, t1)
+        - xe("bema,me->ba", v.v_vvov, t1)
         - 2.0 * ce("mneb,mnea->ba", v.v_oovv, c_oovv)
         + ce("mnbe,mnea->ba", v.v_oovv, c_oovv)
     )
 
     # I_ji' (ccsd.f90:1359)
     I_oo_p = (
-        2.0 * es("miej,me->ji", v.v_oovo, t1)
-        - es("imej,me->ji", v.v_oovo, t1)
+        2.0 * ce("miej,me->ji", v.v_oovo, t1)
+        - ce("imej,me->ji", v.v_oovo, t1)
         + ce("mief,mjef->ji", v.v_oovv, asym_t2)
     )
 
@@ -139,43 +152,41 @@ def _intermediates(t1, t2, v: Slices, digs=None):
     I_oooo = (
         v.v_oooo
         + ce("ijef,klef->klij", v.v_oovv, c_oovv)
-        + es("ke,ijel->klij", t1, v.v_oovo)
-        + es("le,jiek->klij", t1, v.v_oovo)
+        + ce("ijel,ke->klij", v.v_oovo, t1)
+        + ce("jiek,le->klij", v.v_oovo, t1)
     )
 
     # I_ciab' (ccsd.f90:1388)
     I_vovv_p = (
         jnp.transpose(v.v_vvov, (3, 2, 1, 0))  # v_vvov[b,a,i,c] -> [c,i,a,b]
-        - es("maic,mb->ciab", v.v_ovov, t1)
-        - es("ma,micb->ciab", t1, v.v_oovv)
+        - ce("maic,mb->ciab", v.v_ovov, t1)
+        - ce("micb,ma->ciab", v.v_oovv, t1)
     )
 
     # I_jbia (ccsd.f90:1400-1401)
     I_ovov = (
         v.v_ovov
         - 0.5 * ce("imeb,jmea->jbia", v.v_oovv, c_oovv)
-        - es("mibj,ma->jbia", v.v_oovo, t1)
-        + es("ebia,je->jbia", v.v_vvov, t1)
+        - ce("mibj,ma->jbia", v.v_oovo, t1)
+        + xe("ebia,je->jbia", v.v_vvov, t1)
     )
 
     # I_bjia (ccsd.f90:1413-1414)
+    x_voov = xe("beia,je->bjia", v.v_vvov, t1)  # also ccsd.f90:1426
     I_voov = (
         jnp.transpose(v.v_oovv, (2, 1, 0, 3))  # v_oovv[i,j,b,a] -> [b,j,i,a]
         + ce("imbe,mjea->bjia", v.v_oovv, t2)
         - 0.5 * ce("imeb,mjea->bjia", v.v_oovv, t2)
         - 0.5 * ce("mieb,mjae->bjia", v.v_oovv, c_oovv)
-        + es("beia,je->bjia", v.v_vvov, t1)
-        - es("imbj,ma->bjia", v.v_oovo, t1)
+        + x_voov
+        - ce("imbj,ma->bjia", v.v_oovo, t1)
     )
-
-    # x_bjia = v_vvov[b,e,i,a] t1[j,e] (ccsd.f90:1426)
-    x_voov = es("beia,je->bjia", v.v_vvov, t1)
 
     # I_jkia' (ccsd.f90:1438)
     I_ooov_p = (
         jnp.transpose(v.v_oovo, (1, 0, 3, 2))  # v_oovo[k,j,a,i] -> [j,k,i,a]
         + ce("efia,jkef->jkia", v.v_vvov, t2)
-        + es("je,ekia->jkia", t1, x_voov)
+        + xe("je,ekia->jkia", t1, x_voov)
     )
 
     return dict(
@@ -227,6 +238,21 @@ _DIG_CONST_SPECS = (
     ("efma,mief->ia", "v_vvov"),
     ("mnei,mnea->ia", "v_oovo"),
     ("mnei,mnae->ia", "v_oovo"),
+    # the t1-weighted slice GEMVs (every remaining f64 dot with a
+    # slice-sized operand — the emulated-f64 limb expansion allocates
+    # 8x the operand bytes per dot, which OOMs the 174-bf solve)
+    ("miea,me->ai", "v_oovv"),
+    ("miae,me->ai", "v_oovv"),
+    ("miej,me->ji", "v_oovo"),
+    ("imej,me->ji", "v_oovo"),
+    ("ijel,ke->klij", "v_oovo"),
+    ("jiek,le->klij", "v_oovo"),
+    ("maic,mb->ciab", "v_ovov"),
+    ("micb,ma->ciab", "v_oovv"),
+    ("mibj,ma->jbia", "v_oovo"),
+    ("imbj,ma->bjia", "v_oovo"),
+    ("miea,me->ia", "v_oovv"),
+    ("maie,me->ia", "v_ovov"),
     # the dominant O(o^2 v^4) contraction: digit GEMMs replace the hi/lo
     # split-f32 route here — ~the same MXU passes (15 bf16 vs 3 six-pass
     # f32 products) but 2^-42-of-scale instead of the split path's
@@ -294,9 +320,9 @@ def _iteration_core(
     tmp_t1 = (
         es("ea,ie->ia", im["I_vv"], t1)
         - es("im,ma->ia", im["I_oo_p"], t1)
-        + es("em,miea->ia", im["I_vo"], asym_t2)
-        + 2.0 * es("miea,me->ia", v.v_oovv, t1)
-        - es("maie,me->ia", v.v_ovov, t1)
+        + xe("em,miea->ia", im["I_vo"], asym_t2)
+        + 2.0 * ce("miea,me->ia", v.v_oovv, t1)
+        - ce("maie,me->ia", v.v_ovov, t1)
         - 2.0 * ce("mnei,mnea->ia", v.v_oovo, t2)
         + ce("mnei,mnae->ia", v.v_oovo, t2)
         + ce("efma,mief->ia", v.v_vvov, asym_t2)
@@ -324,11 +350,11 @@ def _iteration_core(
         vvvv_term = 0.5 * es("efab,ijef->ijab", v.v_vvvv, c_oovv)
     X = (
         xe("ijae,eb->ijab", t2, im["I_vv"])
-        - es("imab,jm->ijab", t2, im["I_oo"])
+        - xe("imab,jm->ijab", t2, im["I_oo"])
         + vvvv_term
         + 0.5 * xe("mnab,ijmn->ijab", c_oovv, im["I_oooo"])
         + xe("ie,ejab->ijab", t1, im["I_vovv_p"])
-        - es("ma,ijmb->ijab", t1, im["I_ooov_p"])
+        - xe("ma,ijmb->ijab", t1, im["I_ooov_p"])
         - xe("mjae,iemb->ijab", t2, im["I_ovov"])
         - xe("iema,mjeb->ijab", im["I_ovov"], t2)
         + xe("miea,ejmb->ijab", asym_t2, im["I_voov"])
@@ -465,9 +491,18 @@ def do_ccsd_spatial(
 
     state = init_cc_state(t1, t2, cfg.ccsd_diis_n_errmat)
     t_solve = time.perf_counter()
-    if external:
-        mesh = None  # GSPMD sharding of the digit-limb solve: not yet wired
-    if mesh is not None:
+    if external and mesh is not None:
+        # memory-scaling multi-chip: the digit-limb v_vvvv shards over
+        # its chunk axis (1/n_dev of the dominant operand per device)
+        from ..parallel.ccsd_shard import ccsd_solve_sharded_ext
+
+        state, n_iter, done, hist_e, hist_rms = ccsd_solve_sharded_ext(
+            mesh, solver, state, v, D_ia, D_ijab, v.v_oovv, e0,
+            jnp.float64(cfg.ccsd_e_tol), jnp.float64(cfg.ccsd_t_tol),
+            vvvv_B,
+            nerr=cfg.ccsd_diis_n_errmat, maxiter=cfg.ccsd_maxiter,
+        )
+    elif mesh is not None:
         # multi-chip: the SAME fused solve, GSPMD-sharded over the
         # virtual axis (parallel/ccsd_shard.py)
         from ..parallel.ccsd_shard import ccsd_solve_sharded

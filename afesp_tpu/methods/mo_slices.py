@@ -73,14 +73,23 @@ def _stage1_from_packed(packed, CBr, *, n, jb):
 
 def _stage_dense(T, CB, *, nb):
     """Contract the LEADING axis of T against C (cols of CB): T (k, rest...)
-    -> (rest..., p).  Row-blocked so digitization temporaries stay small."""
+    -> (rest..., p).  Column-blocked: each block slices (k, bs) columns
+    and transposes ONLY the block — a full (k, rest).T materialisation
+    is a second rest*k f64 buffer (2.2 GB per stage at 174 bf), and the
+    alternation of such buffers fragmented the scan program's allocator
+    to 41% (measured OOM by 0.7 GB); per-block transposes keep the live
+    set to the input + output + ~(k, bs) temporaries."""
     k = T.shape[0]
     rest_shape = T.shape[1:]
     rest = int(np.prod(rest_shape))
-    A = T.reshape(k, rest).T
+    T2 = T.reshape(k, rest)
     bs = rest // nb
-    blocks = A.reshape(nb, bs, k)
-    out = jax.lax.map(lambda Ab: exact_gemm(Ab, B_dig=CB), blocks)
+
+    def block(c):
+        cols = jax.lax.dynamic_slice(T2, (jnp.int32(0), c * bs), (k, bs))
+        return exact_gemm(cols.T, B_dig=CB)
+
+    out = jax.lax.map(block, jnp.arange(nb, dtype=jnp.int32))
     return out.reshape(*rest_shape, out.shape[-1])
 
 
@@ -97,65 +106,83 @@ def _chem_rows(packed, CBr, CB, *, n, jb, nb):
     return _stage_dense(t, CB, nb=nb)  # (p,q,r,s)
 
 
-def _phys(chunk):
-    """Chemist chunk (p,q,r,s) -> physicist <p q|r s> rows: phys[p,x,y,z]
-    = chem(p y|x z) (ccsd.f90:493-514's notation re-sort)."""
-    return jnp.transpose(chunk, (0, 2, 1, 3))
+def _pslice(chem, x, y, z):
+    """Physicist block phys[:, x, y, z] of a chemist row chunk, without
+    the full-chunk transpose: phys[p,x,y,z] = chem(p y|x z), so slice
+    chem[:, y, x, z] FIRST (the 2.2 GB full-chunk _phys transpose
+    alternating with stage buffers was half the fragmentation OOM) and
+    transpose only the slice."""
+    return jnp.transpose(chem[:, y, x, z], (0, 2, 1, 3))
 
 
 @partial(jax.jit, static_argnames=("n", "nocc", "jb", "nb"))
 def _occ_slices(packed, CBo, CB, *, n, nocc, jb, nb):
     """The four occupied-leading slices in one program."""
-    P = _phys(_chem_rows(packed, CBo, CB, n=n, jb=jb, nb=nb))
+    chem = _chem_rows(packed, CBo, CB, n=n, jb=jb, nb=nb)
     o = slice(None, nocc)
     v = slice(nocc, None)
-    return P[:, o, v, v], P[:, v, o, v], P[:, o, v, o], P[:, o, o, o]
-
-
-@partial(jax.jit, static_argnames=("n", "nocc", "nr", "jb", "nb"),
-         donate_argnums=(2, 3))
-def _virt_slices(packed, C, vvov, vvvv, *, n, nocc, nr, jb, nb):
-    """Fill the two virtual-leading slices by scanning MO row chunks of
-    size nr (nr | nvirt) — ONE program, the chunk loop inside."""
-    nchunk = (n - nocc) // nr
-
-    def step(carry, c):
-        vvov, vvvv = carry
-        r0 = nocc + c * nr
-        rows = jax.lax.dynamic_slice(C, (r0, jnp.int32(0)), (nr, n))
-        CBr = digitize_B(rows.T)
-        P = _phys(_chem_rows(packed, CBr, CB, n=n, jb=jb, nb=nb))
-        o = slice(None, nocc)
-        v = slice(nocc, None)
-        z = jnp.int32(0)
-        vvov = jax.lax.dynamic_update_slice(vvov, P[:, v, o, v], (c * nr, z, z, z))
-        vvvv = jax.lax.dynamic_update_slice(vvvv, P[:, v, v, v], (c * nr, z, z, z))
-        return (vvov, vvvv), None
-
-    CB = digitize_B(C.T)
-    (vvov, vvvv), _ = jax.lax.scan(
-        step, (vvov, vvvv), jnp.arange(nchunk, dtype=jnp.int32)
+    return (
+        _pslice(chem, o, v, v),
+        _pslice(chem, v, o, v),
+        _pslice(chem, o, v, o),
+        _pslice(chem, o, o, o),
     )
-    return vvov, vvvv
 
 
-def _pick_chunk(nvirt: int, n: int, budget_bytes: float = 2.6e9) -> int:
+@partial(jax.jit, static_argnames=("n", "nocc", "nr", "jb", "nb"))
+def _virt_chunk(packed, C, c, *, n, nocc, nr, jb, nb):
+    """One MO row chunk (nr virtual rows starting at c*nr) of the two
+    virtual-leading slices, as 2-D matricisations (vvov rows = e, vvvv
+    rows = (e,f)).
+
+    Why a HOST-level chunk loop instead of one lax.scan program: this
+    backend emulates f64 by X64-splitting whole arrays into f32
+    high/low pairs AT USE, so an f64 scan carry of the full vvvv2
+    (5.1 GB at 174 bf) costs an extra 4.8 GB of split copies inside the
+    program (measured OOM).  Per-chunk programs keep every f64 tensor
+    <= one chunk; the stream tier digitizes each vvvv chunk to bf16
+    limbs immediately and the full f64 vvvv2 never exists."""
+    nv = n - nocc
+    CB = digitize_B(C.T)
+    rows = jax.lax.dynamic_slice(
+        C, (jnp.int32(nocc) + c * jnp.int32(nr), jnp.int32(0)), (nr, n)
+    )
+    CBr = digitize_B(rows.T)
+    chem = _chem_rows(packed, CBr, CB, n=n, jb=jb, nb=nb)
+    o = slice(None, nocc)
+    v = slice(nocc, None)
+    return (
+        _pslice(chem, v, o, v).reshape(nr, nv * nocc * nv),
+        _pslice(chem, v, v, v).reshape(nr * nv, nv * nv),
+    )
+
+
+def _pick_chunk(nvirt: int, n: int, budget_bytes: float = 4e8) -> int:
     """Largest divisor of nvirt whose (nr, n^3) f64 stage buffer fits the
-    budget (two are live at once; see module docstring)."""
+    budget.  The budget is deliberately small: this backend X64-splits
+    whole f64 arrays at use, so each live stage buffer costs ~2x its f64
+    bytes, and 2-3 are live at once alongside the accumulated bf16
+    vvvv limbs (7.7 GB at 174 bf) — a 2.6 GB budget OOM'd at runtime."""
     cap = max(1, int(budget_bytes / (8.0 * n**3)))
     divs = [d for d in range(1, nvirt + 1) if nvirt % d == 0 and d <= cap]
     return max(divs)
 
 
-def ao_to_mo_slices(packed_dev, C, *, n: int, nocc: int) -> Slices:
+def ao_to_mo_slices(packed_dev, C, *, n: int, nocc: int, digit_L: int | None = None):
     """Tri-packed AO ERI (device) + MO coefficients C (rows = MO,
-    sys%canon_coeff layout) -> physicist Slices, f64 throughout except
-    that nothing dense ever materialises (see module docstring).
+    sys%canon_coeff layout) -> (Slices with v_vvvv=None, vvvv_form),
+    f64 throughout except that nothing dense ever materialises (see
+    module docstring).
 
-    The returned Slices carries v_vvvv in f64; large-basis callers
-    digitize it for the hybrid CCSD solve and drop the f64 copy (see
-    ccsd_spatial.spatial_presplit_external).
+    digit_L=None (tests/CPU): vvvv_form is the 2-D (ef, ab) f64
+    matricisation.  digit_L=L (the stream tier): each chunk of vvvv is
+    digitized to bf16 limbs THE MOMENT it is computed and vvvv_form is
+    the assembled prechunk_B_chunkscaled operand — the full f64 vvvv
+    never exists in HBM (at 174 bf the f64 2-D form is 5.1 GB and this
+    backend X64-splits f64 arrays at use, +4.8 GB: measured OOM).
     """
+    from ..ops.exact_gemm import prechunk_B_chunkscaled
+
     C = jnp.asarray(C)
     nvirt = n - nocc
     # jb: leading-j planes per stage-1 gather block (jb | n); the gather
@@ -170,12 +197,48 @@ def ao_to_mo_slices(packed_dev, C, *, n: int, nocc: int) -> Slices:
         packed_dev, CBo, CB, n=n, nocc=nocc, jb=jb, nb=nb
     )
     nr = _pick_chunk(nvirt, n)
-    vvov = jnp.zeros((nvirt, nvirt, nocc, nvirt))
-    vvvv = jnp.zeros((nvirt,) * 4)
-    vvov, vvvv = _virt_slices(
-        packed_dev, C, vvov, vvvv, n=n, nocc=nocc, nr=nr, jb=jb, nb=nb
+    dig = (
+        None
+        if digit_L is None
+        else jax.jit(partial(prechunk_B_chunkscaled, L=digit_L))
     )
-    return Slices(
-        v_oovv=oovv, v_ovov=ovov, v_vvov=vvov, v_oovo=oovo,
-        v_oooo=oooo, v_vvvv=vvvv,
+    vvov_blocks = []
+    limb_blocks: list = []
+    scale_blocks: list = []
+    vvvv_blocks = []
+    for c in range(nvirt // nr):
+        vvovb, vvvvb = _virt_chunk(
+            packed_dev, C, jnp.int32(c), n=n, nocc=nocc, nr=nr, jb=jb, nb=nb
+        )
+        vvov_blocks.append(vvovb)
+        if dig is None:
+            vvvv_blocks.append(vvvvb)
+        else:
+            limbs, s = dig(vvvvb)
+            jax.block_until_ready(s)
+            del vvvvb  # the f64 chunk dies before the next one is built
+            limb_blocks.append(limbs)
+            scale_blocks.append(s)
+    vvov2 = jnp.concatenate(vvov_blocks) if len(vvov_blocks) > 1 else vvov_blocks[0]
+    del vvov_blocks
+    slices = Slices(
+        v_oovv=oovv, v_ovov=ovov,
+        v_vvov=vvov2.reshape(nvirt, nvirt, nocc, nvirt),
+        v_oovo=oovo, v_oooo=oooo, v_vvvv=None,
     )
+    if dig is None:
+        vvvv2 = (
+            jnp.concatenate(vvvv_blocks) if len(vvvv_blocks) > 1 else vvvv_blocks[0]
+        )
+        return slices, vvvv2
+    L = len(limb_blocks[0])
+    if len(limb_blocks) == 1:
+        return slices, (list(limb_blocks[0]), scale_blocks[0])
+    limb_blocks = [list(b) for b in limb_blocks]
+    digits = []
+    for d in range(L):
+        digits.append(jnp.concatenate([b[d] for b in limb_blocks]))
+        jax.block_until_ready(digits[-1])
+        for b in limb_blocks:  # free each source digit as it is merged
+            b[d] = None
+    return slices, (digits, jnp.concatenate(scale_blocks))

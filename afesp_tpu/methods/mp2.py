@@ -267,19 +267,18 @@ def do_mp2_spatial(
         # (methods/mo_slices.py), v_vvvv immediately re-expressed as
         # per-chunk bf16 digit limbs and the f64 copy dropped — the only
         # route that fits 174 bf on one 16 GB chip
-        from ..ops.exact_gemm import prechunk_B_chunkscaled
         from .mo_slices import ao_to_mo_slices
 
-        slices = ao_to_mo_slices(
-            ints.packed_on_device(), jnp.asarray(hf.coeff), n=n, nocc=nocc
+        # digit_L=5: every vvvv chunk becomes bf16 limbs the moment it is
+        # computed — the f64 vvvv never exists in HBM.  L=5 with PER-CHUNK
+        # scales truncates at ~2^-35 of each chunk's max (tighter than the
+        # global-scale L=5 whose compound effect measured 8.7e-9 on the
+        # N2 golden); L=6 limbs (+1.3 GB) broke the 174-bf HBM budget.
+        slices, vvvv_B = ao_to_mo_slices(
+            ints.packed_on_device(), jnp.asarray(hf.coeff), n=n, nocc=nocc,
+            digit_L=5,
         )
         ints.free_device_packed()
-        nv = n - nocc
-        vvvv_B = jax.jit(partial(prechunk_B_chunkscaled, L=6))(
-            slices.v_vvvv.reshape(nv * nv, nv * nv)
-        )
-        jax.block_until_ready(vvvv_B[1])
-        slices = slices._replace(v_vvvv=None)  # drop the 8 B/elem f64 copy
 
         rep.write(" Calculating MP2 energy...")
         lv = jnp.asarray(hf.levels)

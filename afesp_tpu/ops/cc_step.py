@@ -38,14 +38,18 @@ class CCState(NamedTuple):
 
 def init_cc_state(t1, t2, n_errmat: int) -> CCState:
     size = t1.size + t2.size
+    # distinct buffers per field (incl. t1/t2 themselves): the solvers
+    # donate the state argument, so aliased fields would donate the same
+    # buffer twice and the caller's own t1/t2 arrays must survive the
+    # donation
     return CCState(
-        t1=t1,
-        t2=t2,
-        t1_raw=t1,
-        t2_raw=t2,
-        t1_in=t1,
-        t2_in=t2,
-        t2_old=t2,
+        t1=t1.copy(),
+        t2=t2.copy(),
+        t1_raw=t1.copy(),
+        t2_raw=t2.copy(),
+        t1_in=t1.copy(),
+        t2_in=t2.copy(),
+        t2_old=t2.copy(),
         diis_T=jnp.zeros((n_errmat, size)),
         diis_E=jnp.zeros((n_errmat, size)),
         gram=jnp.zeros((n_errmat, n_errmat)),
@@ -212,7 +216,10 @@ def make_cc_solver_pre(iteration_fn, energy_fn, precompute):
     hook, with `pre` threaded through."""
     body_step = _make_step_body(iteration_fn, energy_fn)
 
-    @partial(jax.jit, static_argnames=("nerr", "maxiter"))
+    # state0 is donated: the returned CCState aliases its buffers, saving
+    # ~1 GB of argument+output residency at 174-bf shapes (callers build
+    # a fresh init_cc_state per solve)
+    @partial(jax.jit, static_argnames=("nerr", "maxiter"), donate_argnums=(0,))
     def solve(
         state0, v, D_ia, D_ijab, oovv, e0, e_tol, t_tol, pre, *, nerr, maxiter
     ):

@@ -121,6 +121,77 @@ def ccsd_solve_sharded(
     )
 
 
+def _pad_chunk_axis(vvvv_B, mult: int):
+    """Pad the digit-limb v_vvvv's chunk axis to a multiple of `mult`
+    with all-zero chunks (scale 1).  Zero digits contribute exactly zero
+    to every pair product, so the padded operand is numerically
+    identical — this is what lets a prime chunk count (e.g. nc=53 at
+    nvirt=159) shard evenly over any mesh."""
+    import jax.numpy as jnp
+
+    chunks, s = vvvv_B
+    nc = chunks[0].shape[0]
+    pad = (-nc) % mult
+    if pad == 0:
+        return vvvv_B
+    chunks = [jnp.pad(c, ((0, pad), (0, 0), (0, 0))) for c in chunks]
+    s = jnp.pad(s, ((0, pad), (0, 0), (0, 0)), constant_values=1.0)
+    return chunks, s
+
+
+def ccsd_solve_sharded_ext(
+    mesh: Mesh, solver, state: CCState, v, D_ia, D_ijab, oovv,
+    e0, e_tol, t_tol, vvvv_B, *, nerr: int, maxiter: int
+):
+    """Memory-scaling multi-chip CCSD for the streaming tier: the digit-
+    limb v_vvvv — the dominant operand, the only form in which v_vvvv
+    exists at this scale — is sharded over its K-CHUNK axis, so an
+    8-chip mesh holds 1/8 of the limbs per device (plus the virtual-axis
+    sharding of the remaining slices/amplitudes); GSPMD partitions the
+    per-chunk pair products and inserts the cross-chunk psum.  This is
+    the path that admits a problem one chip's HBM cannot hold — the
+    reference has no analogue at any scale (its packed store caps near
+    99 bf, integrals.f90:10-21)."""
+    n_dev = mesh.devices.size
+    sub = _fitting_mesh(mesh, state.t2.shape[3])
+    if sub is None:
+        sub = Mesh(mesh.devices.ravel()[:1], mesh.axis_names)
+    t1, t2, vs, D_ia, D_ijab = _shard_spatial_ext(
+        sub, state.t1, state.t2, v, D_ia, D_ijab
+    )
+    state = shard_cc_state(sub, state._replace(t1=t1, t2=t2))
+    oovv = jax.device_put(oovv, _on_axis(sub, 3, 4))
+    vvvv_B = _pad_chunk_axis(vvvv_B, n_dev)
+    chunk_sh = NamedSharding(mesh, P(mesh.axis_names[0], None, None))
+    chunks, s = vvvv_B
+    vvvv_B = (
+        [jax.device_put(c, chunk_sh) for c in chunks],
+        jax.device_put(s, chunk_sh),
+    )
+    return solver(
+        state, vs, D_ia, D_ijab, oovv, e0, e_tol, t_tol, vvvv_B,
+        nerr=nerr, maxiter=maxiter,
+    )
+
+
+def _shard_spatial_ext(mesh: Mesh, t1, t2, v, D_ia, D_ijab):
+    """shard_ccsd_inputs for an external Slices whose v_vvvv is None."""
+    repl = NamedSharding(mesh, P())
+    t1 = jax.device_put(t1, _on_axis(mesh, 1, 2))
+    t2 = jax.device_put(t2, _on_axis(mesh, 3, 4))
+    parts = []
+    for x, pos in zip(v, _SPATIAL_AXES):
+        if x is None:
+            parts.append(None)
+        else:
+            parts.append(
+                jax.device_put(x, repl if pos is None else _on_axis(mesh, pos))
+            )
+    D_ia = jax.device_put(D_ia, _on_axis(mesh, 1, 2))
+    D_ijab = jax.device_put(D_ijab, _on_axis(mesh, 3, 4))
+    return t1, t2, type(v)(*parts), D_ia, D_ijab
+
+
 def ccsd_iteration_sharded(mesh: Mesh, t1, t2, v: SpinSlices, D_ia, D_ijab):
     """One sharded CCSD iteration; returns (t1', t2') with the same
     shardings (XLA/GSPMD chooses the internal collectives)."""

@@ -54,8 +54,8 @@ def bench_real(workdir: Path):
     from afesp_tpu import warmup
     from afesp_tpu.config import read_els_in
     from afesp_tpu.flops import (
+        MEASURED_BF16,
         MEASURED_F32,
-        MEASURED_F64,
         PEAK_BF16,
         spinorb_ccsd_iteration_flops,
         spinorb_triples_flops,
@@ -67,6 +67,7 @@ def bench_real(workdir: Path):
     from afesp_tpu.methods.ccsd_spinorb import do_ccsd_spinorb
     from afesp_tpu.methods.triples_spinorb import do_ccsd_t_spinorb
 
+    t_read0 = time.perf_counter()
     cfg = read_els_in(workdir)
     cfg.scf_read_guess = False
     cfg.scf_write_guess = False
@@ -77,8 +78,13 @@ def bench_real(workdir: Path):
     sys_, ints = dat.read_integrals(workdir, cfg.restricted)
     warmup.start(sys_, cfg)  # compile-ahead overlaps the HF/MP2 stages
     rep = Reporter(stream=io.StringIO())
+    read_wall = time.perf_counter() - t_read0
+    t0 = time.perf_counter()
     hf = do_rhf(sys_, ints, cfg, rep, workdir)
+    hf_cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
     mp2 = do_mp2_spatial(sys_, ints, cfg, hf, rep, workdir)
+    mp2_cold = time.perf_counter() - t0
 
     def run_stage():
         t0 = time.perf_counter()
@@ -92,6 +98,15 @@ def bench_real(workdir: Path):
     # thread; pass 2 is the steady state the hardware sustains (the
     # Fortran baseline likewise excludes its compile time).
     cc, e_t, ccsd_cold, t_cold = run_stage()
+    # steady-state HF/MP2: the first-pass walls above absorb the warmup
+    # thread's compile contention on this 1-core host (measured: mp2_cold
+    # 13-121 s vs ~1 s quiet) — re-measure with the warmup drained
+    t0 = time.perf_counter()
+    hf = do_rhf(sys_, ints, cfg, rep, workdir)
+    hf_wall = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    mp2 = do_mp2_spatial(sys_, ints, cfg, hf, rep, workdir)
+    mp2_wall = time.perf_counter() - t0
     cc, e_t, ccsd_wall, t_wall = run_stage()
     wall = ccsd_wall + t_wall
 
@@ -119,6 +134,13 @@ def bench_real(workdir: Path):
     ok_ccsd = abs(cc.e_ccsd - -0.399789132814) < 1e-8
     ok_t = abs(e_t - -0.434032756) < 1e-8
 
+    # whole-pipeline headline (BASELINE target: "CCSD(T)/cc-pVTZ < 10 s"
+    # is a CALCULATION, not a stage): RHF -> (T), steady and first-pass.
+    # The reference bar: els_cpu.out total 171.89 s multithreaded.
+    total_steady = hf_wall + mp2_wall + ccsd_wall + t_wall
+    total_first = read_wall + hf_cold + mp2_cold + ccsd_cold + t_cold
+    ok_total = total_steady < 10.0
+
     o, v = sys_.nocc, sys_.nvirt  # spin-orbital counts
     fl_ccsd = (
         spinorb_ccsd_iteration_flops(o, v, precision=cfg.ccsd_precision)
@@ -129,9 +151,15 @@ def bench_real(workdir: Path):
     return wall, {
         "e_ccsd": cc.e_ccsd,
         "e_ccsd_t": e_t,
+        "hf_wall": hf_wall,
+        "mp2_wall": mp2_wall,
+        "hf_wall_first": hf_cold,
+        "mp2_wall_first": mp2_cold,
         "ccsd_wall": ccsd_wall,
         "t_wall": t_wall,
         **alt,
+        "total_wall": total_steady,
+        "total_wall_first": total_first,
         "cold_wall": ccsd_cold + t_cold,
         "ccsd_iters": cc.iterations,
         "ccsd_tflops": fl_ccsd / ccsd_wall / 1e12,
@@ -141,12 +169,17 @@ def bench_real(workdir: Path):
         "t_tflops_effective": fl_t / t_wall / 1e12,
         "t_tflops_executed": fl_t_x / t_wall / 1e12,
         "mfu_vs_bf16_peak": (fl_ccsd + fl_t_x) / wall / PEAK_BF16,
-        # the honest utilization denominators: measured f64-emulation and
-        # f32 ceilings on THIS chip (see flops.py for the measurement),
-        # with executed (not algorithmic) FLOPs in the numerator
-        "ccsd_util_vs_f64_ceiling": fl_ccsd / ccsd_wall / MEASURED_F64,
+        # honest utilization: the CCSD iterations run as integer-digit
+        # bf16 GEMMs, so their executed FLOPs are reported against the
+        # MEASURED bf16 ceiling they actually run on (119 TF/s on this
+        # chip); the triples panels run f32, reported against the f32
+        # ceiling.  (r2's "util_vs_f64_ceiling" compared digit GEMMs to
+        # the emulated-f64 ceiling they replaced and read >1 — honest in
+        # context, misleading as a dashboard number.)
+        "ccsd_digit_util_vs_bf16": fl_ccsd / ccsd_wall / MEASURED_BF16,
         "t_util_vs_f32_ceiling": fl_t_x / t_wall / MEASURED_F32,
-        "ok": ok_ccsd and ok_t,
+        "ok": ok_ccsd and ok_t and ok_total,
+        "ok_total_lt_10s": ok_total,
     }
 
 

@@ -80,7 +80,10 @@ def main():
     )
     ccsd_wall = time.perf_counter() - t0
     # steady-state repeat (first solve pays lowering + server program
-    # load; the Fortran baseline's walls likewise exclude compilation)
+    # load; the Fortran baseline's walls likewise exclude compilation).
+    # Free the first result FIRST: its reconstructed f32 v_vvvv (3.9 GB
+    # padded at 174 bf) must not sit in HBM during the second solve.
+    del cc
     t0 = time.perf_counter()
     cc = do_ccsd_spatial(
         sys_, mp2.eri_mo, cfg, hf, rep, FIXTURE,

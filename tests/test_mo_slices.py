@@ -31,7 +31,9 @@ def test_ao_to_mo_slices_matches_dense():
 
     ref = make_slices(_ao_to_mo_oneshot(jnp.asarray(eri), jnp.asarray(C)), nocc)
     packed = jnp.asarray(pack_eri(eri))
-    out = ao_to_mo_slices(packed, C, n=n, nocc=nocc)
+    out, vvvv2 = ao_to_mo_slices(packed, C, n=n, nocc=nocc)
+    nv = n - nocc
+    out = out._replace(v_vvvv=vvvv2.reshape((nv,) * 4))
 
     for name in ref._fields:
         r = np.asarray(getattr(ref, name))
@@ -47,7 +49,8 @@ def test_ao_to_mo_slices_awkward_chunking():
     rng = np.random.default_rng(10)
     C = rng.standard_normal((n, n)) / np.sqrt(n)
     ref = make_slices(_ao_to_mo_oneshot(jnp.asarray(eri), jnp.asarray(C)), nocc)
-    out = ao_to_mo_slices(jnp.asarray(pack_eri(eri)), C, n=n, nocc=nocc)
+    out, vvvv2 = ao_to_mo_slices(jnp.asarray(pack_eri(eri)), C, n=n, nocc=nocc)
+    out = out._replace(v_vvvv=vvvv2.reshape((n - nocc,) * 4))
     for name in ref._fields:
         r = np.asarray(getattr(ref, name))
         o = np.asarray(getattr(out, name))

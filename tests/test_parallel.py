@@ -199,3 +199,83 @@ def test_full_pipeline_multidevice_golden_n2(sample_data, tmp_path):
     assert abs(tr.e_crccsd_tt + e0 - -108.9543970939) < 1e-8
     assert abs(tr.D_T - 1.9149923969) < 1e-7
     assert abs(tr.D_TT - 1.9196440233) < 1e-7
+
+
+def test_sharded_ext_solve_scales_memory_and_matches():
+    """The streaming-tier (digit-limb v_vvvv) solve under the memory-
+    scaling mesh: the dominant operand's per-device footprint shrinks
+    1/n_dev, and the solve reproduces the unsharded external solve."""
+    import jax.numpy as jnp
+
+    from afesp_tpu.methods.ccsd_spatial import (
+        ccsd_spatial_solver_ext,
+        denominators,
+        make_slices,
+    )
+    from afesp_tpu.methods.mp2 import _ao_to_mo_oneshot
+    from afesp_tpu.ops.cc_step import init_cc_state
+    from afesp_tpu.ops.exact_gemm import prechunk_B_chunkscaled
+    from afesp_tpu.ops.packed_eri import pack_eri
+    from afesp_tpu.parallel.ccsd_shard import ccsd_solve_sharded_ext
+
+    n, nocc = 60, 12  # nvirt=48: K=2304 -> kc=288, nc=8 chunks
+    rng = np.random.default_rng(21)
+    e = rng.standard_normal((n, n, n, n)) * 0.02
+    e = e + e.transpose(1, 0, 2, 3)
+    e = e + e.transpose(0, 1, 3, 2)
+    e = e + e.transpose(2, 3, 0, 1)
+    eri = e / 8.0 + 4.0 * np.einsum(
+        "ij,kl->ijkl", np.eye(n), np.eye(n)
+    )  # diagonally dominant, CC-convergent
+    C = np.linalg.qr(rng.standard_normal((n, n)))[0].T
+    v = make_slices(_ao_to_mo_oneshot(jnp.asarray(eri), jnp.asarray(C)), nocc)
+    levels = jnp.asarray(np.concatenate([-np.arange(1, nocc + 1)[::-1] - 1.0,
+                                         2.0 + np.arange(n - nocc)]))
+    D_ia, D_ijab = denominators(levels, nocc)
+    nv = n - nocc
+    vvvv_B = prechunk_B_chunkscaled(v.v_vvvv.reshape(nv * nv, nv * nv), L=6)
+    assert vvvv_B[0][0].shape[0] == 6  # natural chunking; padded to 8 below
+    v = v._replace(v_vvvv=None)
+    t1 = jnp.zeros_like(D_ia)
+    t2 = v.v_oovv / D_ijab
+    nerr, maxiter = 6, 20
+    state0 = init_cc_state(t1, t2, nerr)
+    e0 = jnp.float64(0.0)
+    tols = (jnp.float64(1e-10), jnp.float64(1e-10))
+
+    st_ref, n_ref, done_ref, he_ref, _ = ccsd_spatial_solver_ext(
+        state0, v, D_ia, D_ijab, v.v_oovv, e0, *tols, vvvv_B,
+        nerr=nerr, maxiter=maxiter,
+    )
+    mesh = default_mesh(8)
+    # shard the padded operand (exactly what the production path places)
+    # and inspect placement: each device must hold 1/8 of the limb bytes
+    # (the memory-scaling claim, VERDICT r2 item 3)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from afesp_tpu.parallel.ccsd_shard import _pad_chunk_axis
+
+    padded = _pad_chunk_axis(vvvv_B, 8)
+    assert padded[0][0].shape[0] == 8
+    sh = NamedSharding(mesh, P(mesh.axis_names[0], None, None))
+    probe = jax.device_put(padded[0][0], sh)
+    shard_bytes = probe.addressable_shards[0].data.nbytes
+    assert shard_bytes * 8 == probe.nbytes
+    assert len({s.device for s in probe.addressable_shards}) == 8
+
+    # fresh state: the ext solver DONATES its state argument
+    state0b = init_cc_state(t1, t2, nerr)
+    st_sh, n_sh, done_sh, he_sh, _ = ccsd_solve_sharded_ext(
+        mesh, ccsd_spatial_solver_ext, state0b, v, D_ia, D_ijab, v.v_oovv,
+        e0, *tols, vvvv_B, nerr=nerr, maxiter=maxiter,
+    )
+    assert int(n_sh) == int(n_ref) and bool(done_sh) == bool(done_ref)
+    np.testing.assert_allclose(
+        np.asarray(he_sh)[: int(n_ref)], np.asarray(he_ref)[: int(n_ref)],
+        rtol=0, atol=1e-10,
+    )
+    # amplitudes see cross-chunk psum reduction-order noise (~2e-9 max);
+    # the energy history above is the 1e-10 agreement gate
+    np.testing.assert_allclose(
+        np.asarray(st_sh.t2_raw), np.asarray(st_ref.t2_raw), rtol=0, atol=1e-8
+    )
