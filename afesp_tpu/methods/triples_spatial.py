@@ -467,6 +467,22 @@ def pick_spatial_jlen(
     return max(d for d in range(1, budget + 1) if nocc % d == 0)
 
 
+_SPATIAL_PLAN_CACHE: dict = {}
+
+
+def _spatial_plan_device(nocc: int):
+    """strict_spatial_plan memoized as device arrays (see the spin-
+    orbital twin: re-uploading the index vectors costs tunnel round
+    trips per call).  Returns (si, sj, sk, w, ntrip)."""
+    if nocc not in _SPATIAL_PLAN_CACHE:
+        si, sj, sk, w = strict_spatial_plan(nocc)
+        _SPATIAL_PLAN_CACHE[nocc] = (
+            jnp.asarray(si), jnp.asarray(sj), jnp.asarray(sk),
+            jnp.asarray(w), len(si),
+        )
+    return _SPATIAL_PLAN_CACHE[nocc]
+
+
 def do_ccsd_t_spatial(
     sys_: dat.System,
     cc: CCSDResult,
@@ -523,15 +539,12 @@ def do_ccsd_t_spatial(
         # sorted-triples fully-fused kernel (ops/triples_pallas)
         from ..ops.triples_pallas import triples_fused_spatial
 
-        si, sj, sk, w = strict_spatial_plan(nocc)
+        si, sj, sk, w, ntrip = _spatial_plan_device(nocc)
         partials = triples_fused_spatial(
-            *targs,
-            jnp.asarray(si), jnp.asarray(sj), jnp.asarray(sk),
-            has_m=doing_CR,
+            *targs, si, sj, sk, has_m=doing_CR,
         )
         s = jnp.sum(
-            partials[: len(si), :6].astype(jnp.float64)
-            * jnp.asarray(w)[:, None],
+            partials[:ntrip, :6].astype(jnp.float64) * w[:, None],
             axis=0,
         )
         totals = (s[0], s[0] + s[1], s[2], s[2] + s[3], s[4], s[4] + s[5])

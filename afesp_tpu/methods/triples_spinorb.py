@@ -353,6 +353,27 @@ def _pick_jlen(nocc: int, nvirt: int, precision: str) -> int:
     return max(d for d in range(1, budget + 1) if nocc % d == 0)
 
 
+_PLAN_CACHE: dict = {}
+
+
+def _strict_plan_device(nocc: int, nvirt: int, precision: str):
+    """strict_plan with the padded index triple memoized as DEVICE
+    arrays: the plan is a pure function of (nocc, nvirt, precision), and
+    re-uploading three index vectors per call costs three host->device
+    round trips through the tunnel.  Returns (None, None, None, 1) when
+    the triple list is empty."""
+    key = (nocc, nvirt, precision)
+    if key not in _PLAN_CACHE:
+        ii, jj, kk, clen = strict_plan(nocc, nvirt, precision)
+        if len(ii) == 0:
+            _PLAN_CACHE[key] = (None, None, None, 1)
+        else:
+            _PLAN_CACHE[key] = (
+                jnp.asarray(ii), jnp.asarray(jj), jnp.asarray(kk), clen
+            )
+    return _PLAN_CACHE[key]
+
+
 def do_ccsd_t_spinorb(
     sys_: dat.System,
     cc: CCSDSpinorbResult,
@@ -405,15 +426,13 @@ def do_ccsd_t_spinorb(
             mesh, *args, nocc=nocc, precision=precision
         )
     else:
-        ii, jj, kk, clen = strict_plan(nocc, nvirt, precision)
-        if len(ii) == 0:
+        ii, jj, kk, clen = _strict_plan_device(nocc, nvirt, precision)
+        if ii is None:
             total = 0.0
         else:
             total = float(
                 _triples_total_strict(
-                    *args,
-                    jnp.asarray(ii), jnp.asarray(jj), jnp.asarray(kk),
-                    clen=clen, precision=precision,
+                    *args, ii, jj, kk, clen=clen, precision=precision,
                 )
             )
 

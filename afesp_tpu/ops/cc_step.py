@@ -36,12 +36,16 @@ class CCState(NamedTuple):
     n_active: jnp.ndarray  # int32
 
 
+@partial(jax.jit, static_argnames=("n_errmat",))
 def init_cc_state(t1, t2, n_errmat: int) -> CCState:
+    """One compiled program: the eager version's ~11 op-by-op dispatches
+    cost ~100 ms of tunnel latency per solve."""
     size = t1.size + t2.size
     # distinct buffers per field (incl. t1/t2 themselves): the solvers
     # donate the state argument, so aliased fields would donate the same
     # buffer twice and the caller's own t1/t2 arrays must survive the
-    # donation
+    # donation (jit outputs are distinct buffers; the .copy()s make the
+    # traced values distinct so XLA cannot alias them away)
     return CCState(
         t1=t1.copy(),
         t2=t2.copy(),
@@ -198,7 +202,7 @@ def make_cc_solver(iteration_fn, energy_fn, precompute=None):
 
     @partial(jax.jit, static_argnames=("nerr", "maxiter"))
     def solve(state0, v, D_ia, D_ijab, oovv, e0, e_tol, t_tol, *, nerr, maxiter):
-        consts = precompute(v) if precompute is not None else None
+        consts = _pin(precompute(v)) if precompute is not None else None
         return _run_solve(
             body_step, state0, v, D_ia, D_ijab, oovv, e0, e_tol, t_tol,
             consts, nerr, maxiter,
@@ -223,13 +227,26 @@ def make_cc_solver_pre(iteration_fn, energy_fn, precompute):
     def solve(
         state0, v, D_ia, D_ijab, oovv, e0, e_tol, t_tol, pre, *, nerr, maxiter
     ):
-        consts = precompute(v, pre)
+        consts = _pin(precompute(v, pre))
         return _run_solve(
             body_step, state0, v, D_ia, D_ijab, oovv, e0, e_tol, t_tol,
             consts, nerr, maxiter,
         )
 
     return solve
+
+
+def _pin(consts):
+    """optimization_barrier around the precompute hook's outputs.
+
+    Without it XLA's while-loop code sinking REMATERIALISES the consts
+    inside the loop body to cut peak HBM — i.e. the one-time ERI-slice
+    digitization reruns every CC iteration (observed as `*.sunk` body
+    clones in the compiled HLO; measured ~20 ms of the pVTZ iteration's
+    ~50 ms wall, vs 27 ms for the same step executed outside the
+    solve).  The barrier forces the consts to materialise once, before
+    the loop."""
+    return jax.lax.optimization_barrier(consts)
 
 
 def _run_solve(

@@ -14,9 +14,9 @@ power-of-two row/column scales into [-1/2, 1/2], expanded in base-128
 integer digits, and every digit-pair product runs as an int8 x int8 ->
 int32 MXU GEMM.  Digit products (<= 2^14) and int32 accumulations
 (K <= 2^17) are EXACT; the only error is the dropped high-degree digit
-pairs and the final f64 recombination — ~2^-49 of the row/col scale,
-i.e. genuinely f64-grade, at int8-MXU throughput (measured 76+ TOPS on
-one v5e through the axon tunnel).
+pairs, the f32-cascade digitize seam (~2^-48 of scale, see _digits) and
+the final f64 recombination — genuinely f64-grade, at int8-MXU
+throughput (measured 76+ TOPS on one v5e through the axon tunnel).
 
 Cost: npairs = maxdeg*(maxdeg-1)/2 int8 GEMMs (28 at the default
 maxdeg=8) — each ~4x cheaper than an f32 GEMM pass on v5e hardware.
@@ -35,19 +35,73 @@ _MAX_K = 2**31 // (2 ** (2 * _Q + 2))  # 131072, with 2 bits of slack
 
 
 def _pow2_scale(x, axis):
-    """Per-row/col power-of-two scale s >= max|x| (exact divides)."""
+    """Per-row/col power-of-two scale s >= max|x| (exact divides).
+
+    Computed by exponent-field manipulation (frexp/ldexp lower to a few
+    bitcast/shift ops), NOT ceil(log2(m)): the emulated-f64 `log2`
+    expands to a ~1000-instruction polynomial fusion PER CALL SITE on
+    this backend, which alone bloated the whole-solve executable to
+    77 MB — and server-side program-load time (the dominant per-process
+    cold cost through the tunnel) is size-proportional.
+
+    The f64 frexp path is not lowerable here (the X64-rewrite pass has
+    no s64 bitcast), so the exponent comes from an f32 frexp and two
+    EXACT f64 fixup selects (comparisons between m and powers of two):
+    frexp(f32(m)) = (mant, e) with 2^(e-1) <= f32(m) < 2^e, and f32
+    rounding-to-nearest cannot take a value below a representable power
+    of two it equals or exceeds — so 2^e >= m always, and the true
+    ceiling is either 2^e or 2^(e-1); one halving test decides exactly.
+    Exponents beyond f32 range ride on exact power-of-two pre/post
+    shifts (values below 2^-1000 clamp: a column whose max is that small
+    is numerically zero and any valid scale leaves its digits zero).
+    """
     m = jnp.max(jnp.abs(x), axis=axis, keepdims=True)
-    e = jnp.ceil(jnp.log2(jnp.where(m > 0, m, 1.0)))
-    return jnp.exp2(e)
+    m = jnp.where(m > 0, m, 1.0)
+    if m.dtype == jnp.float64:
+        # exact 200-bit shift ladder: brings any f64 magnitude into
+        # [2^-74, 2^100] so the f32 frexp sees a normal value; every
+        # factor is a power of two, so m * f and s / f are exact
+        f = jnp.ones_like(m)
+        for t in (100.0, 300.0, 500.0, 700.0, 900.0):
+            f = f * jnp.where(m > 2.0**t, 2.0**-200, 1.0)
+            f = f * jnp.where(m < 2.0**-t, 2.0**200, 1.0)
+        _, e = jnp.frexp((m * f).astype(jnp.float32))
+        s = jnp.ldexp(jnp.float32(1.0), e).astype(m.dtype) / f
+    else:
+        _, e = jnp.frexp(m.astype(jnp.float32))
+        s = jnp.ldexp(jnp.float32(1.0), e).astype(m.dtype)
+    return jnp.where(0.5 * s >= m, 0.5 * s, s)
 
 
 def _digits(x, L: int):
-    """x in [-1/2, 1/2] -> L base-128 int8 digit arrays (balanced round:
-    digits in [-64, 64], residual after L digits <= 2^(-7L-1))."""
+    """x in [-1/2, 1/2] -> L base-128 int8 digit arrays (balanced round).
+
+    Extraction runs as an f32 cascade seeded by the hi/lo split of the
+    f64 input — NOT an f64 loop: on this backend every emulated-f64 op
+    expands to ~30-60 f32 HLO instructions cloned per call site, and
+    the digitize loops were a top source of executable bloat (program
+    size drives the per-process server-side load wall).  Only 3 f64 ops
+    remain (the split); the cascade itself is exact f32 arithmetic:
+    y*128, round, subtract are all exact at every step, so the digits
+    reproduce the (split) input exactly.
+
+    Accuracy: the one rounding seam is folding the low f32 half into
+    the level-3 residual (~2^-48 of scale worst-case, below the L<=6
+    truncation floors; at L=7 it caps accuracy at ~2^-48 instead of the
+    f64 loop's 2^-50).  The fold can push level-4+ inputs slightly past
+    1/2, so digits are bounded by 72, not 64 — products <= 72^2 < 2^14
+    and kc=512 chunk sums < 2^24 stay exact in f32 accumulation."""
+    f32 = jnp.float32
+    is64 = x.dtype == jnp.float64
+    xh = x.astype(f32) if is64 else x
+    y = xh
     ds = []
-    y = x
-    for _ in range(L):
-        y = y * _BASE
+    for i in range(L):
+        if i == 3 and is64:
+            # fold in the low half, scaled to the cascade's level
+            xl = (x - xh.astype(x.dtype)).astype(f32)
+            y = y + xl * f32(_BASE**3)
+        y = y * f32(_BASE)
         d = jnp.round(y)
         y = y - d
         ds.append(d.astype(jnp.int8))
@@ -294,7 +348,7 @@ def exact_gemm(A=None, B=None, *, A_dig=None, B_dig=None, A_pre=None,
         return b.reshape(nc, kc, N).astype(jnp.bfloat16)
 
     Bc = [chunk_b(b) for b in Bd]
-    acc = None
+    groups: dict = {}
     for i in range(len(Ad)):
         ai = chunk_a(Ad[i])
         for j in range(len(Bd)):
@@ -303,9 +357,8 @@ def exact_gemm(A=None, B=None, *, A_dig=None, B_dig=None, A_pre=None,
             P = jnp.einsum(  # exact per chunk (f32 accumulation)
                 "cmk,ckn->cmn", ai, Bc[j], preferred_element_type=jnp.float32
             )
-            term = P.astype(jnp.float64).sum(0) * (2.0 ** (-_Q * (i + j + 2)))
-            acc = term if acc is None else acc + term
-    return acc * (4.0 * sA * sB)
+            _group_add(groups, i + j + 2, P)
+    return _recombine(groups, None) * (4.0 * sA * sB)
 
 
 def _exact_gemm_pre(A, B, A_pre, B_pre, maxdeg: int):
@@ -345,7 +398,7 @@ def _exact_gemm_pre(A, B, A_pre, B_pre, maxdeg: int):
             return b.reshape(nc, kc, N).astype(jnp.bfloat16)
 
         Bc = [ch(b) for b in Bd]
-    acc = None
+    groups: dict = {}
     for i in range(len(Ac)):
         for j in range(len(Bc)):
             if i + j + 2 > maxdeg:
@@ -353,12 +406,54 @@ def _exact_gemm_pre(A, B, A_pre, B_pre, maxdeg: int):
             P = jnp.einsum(
                 "cmk,ckn->cmn", Ac[i], Bc[j], preferred_element_type=jnp.float32
             )
-            w = 2.0 ** (-_Q * (i + j + 2))
-            if sB_chunked:
-                term = (P.astype(jnp.float64) * sB).sum(0) * w
-            else:
-                term = P.astype(jnp.float64).sum(0) * w
-            acc = term if acc is None else acc + term
+            _group_add(groups, i + j + 2, P)
+    acc = _recombine(groups, sB if sB_chunked else None)
     # non-chunked: keep the exact expression of the direct path so the
     # prechunked routes stay BITWISE identical to it (asserted in tests)
     return acc * (4.0 * sA) if sB_chunked else acc * (4.0 * sA * sB)
+
+
+def _group_add(groups: dict, d: int, P):
+    """Collect a degree-d pair product.  Groups hold LISTS (summed
+    lazily inside _recombine's fused reduction); at most 6 per slot so
+    the f32 group sum stays exact: 6 addends of <= kc * 72^2 = 2.65e6
+    magnitude stay under the 2^24 f32 integer-exactness bound (the 7th
+    same-degree pair, maxdeg=8, spills to a second slot)."""
+    n = 0
+    while (d, n) in groups and len(groups[(d, n)]) >= 6:
+        n += 1
+    groups.setdefault((d, n), []).append(P)
+
+
+def _recombine(groups: dict, sB_chunks):
+    """Fold degree-grouped f32 pair products into one f64 reduction.
+
+    groups: (degree d, slot) -> (nc, M, N) f32 sum of the degree-d pair
+    GEMMs (integer-valued; same-degree f32 adds are exact — <= 6 pairs
+    of <= kc * 72^2 magnitude stays under 2^24).  Each group is scaled
+    by its 2^-7d weight in f32 (power-of-two, exact), the groups are
+    stacked, and ONE convert-multiply-sum runs in emulated f64 — the
+    previous per-pair f64 convert/scale/sum/accumulate chains were
+    ~6-21x more emulated-f64 ops per call site, the dominant source of
+    both executable bloat and per-iteration fusion-dispatch overhead.
+    sB_chunks: per-K-chunk column scales (nc, 1, N) to apply before the
+    chunk reduction (prechunk_B_chunkscaled operands), or None.
+
+    No concatenation and no materialised partial sums: per group the
+    exact f32 pair-sum, the f32 weight-scale, the f64 convert and the
+    chunk reduction are written as one expression so XLA fuses them
+    into a single multi-input pass over that group's pair-GEMM outputs
+    (both a concat-then-reduce variant and eagerly accumulated group
+    partials materialised extra ~100 MB-scale f32 intermediates at
+    vvvv-sized call sites — measured +5 ms/CCSD iteration)."""
+    acc = None
+    for k in sorted(groups):
+        ps = groups[k]
+        g = ps[0] if len(ps) == 1 else sum(ps[1:], start=ps[0])
+        g = g * jnp.float32(2.0 ** (-_Q * k[0]))
+        if sB_chunks is not None:
+            t = (g.astype(jnp.float64) * sB_chunks).sum(0)
+        else:
+            t = g.astype(jnp.float64).sum(0)
+        acc = t if acc is None else acc + t
+    return acc

@@ -306,7 +306,17 @@ def triples_finale_spatial(
 
 
 def _fused_kernel(o: int, v: int, vp: int, mp: int):
-    """Kernel body for triples_fused (closure over the static dims)."""
+    """Kernel body for triples_fused (closure over the static dims).
+
+    r3 rework (VERDICT #5 — amortise per-triple issue cost): the
+    disconnected t3d is ONE K=3 MXU dot (t1 columns x W rows) instead of
+    a v-iteration per-plane VPU loop, and the energy reduction runs as
+    whole-array VMEM passes against a PRECOMPUTED denominator cube
+    (d3_s[a,b,c] = ev[a]+ev[b]+ev[c], built once at p==0) instead of a
+    second v-iteration loop — per-plane (1,128,128) ops use 1/8 of the
+    sublanes and pay per-op issue ~106x per triple.  The h-combination
+    reuses two scratch buffers (h_s, tmp_s) instead of materialising
+    all four permutations, freeing the VMEM the denominator cube needs."""
     f32 = jnp.float32
 
     def kernel(
@@ -315,9 +325,10 @@ def _fused_kernel(o: int, v: int, vp: int, mp: int):
         ovA_jk, ovA_ik, ovA_ji,
         vFM_i, vFM_j, vFM_k,
         W_jk, W_ik, W_ij,
+        t1v_ref,
         dvv_ref,
         out_ref,
-        t3_s, s_s, sbac_s, scba_s, scab_s, sbca_s,
+        t3_s, s_s, h_s, tmp_s, d3_s,
     ):
         p = pl.program_id(0)
         row = jax.lax.rem(p, jnp.int32(8))
@@ -328,9 +339,14 @@ def _fused_kernel(o: int, v: int, vp: int, mp: int):
 
         @pl.when(p == 0)
         def _():
-            # planes a >= v of s are never written below; zero once so the
-            # whole-array transposes cannot read uninitialised VMEM
-            s_s[:] = jnp.zeros_like(s_s)
+            # denominator cube: ev[a] + ev[b] + ev[c].  Padded planes
+            # carry ev=1e3 so every padded denominator is finite; and
+            # x (= t3c) is exactly zero there, so they contribute 0.
+            def dbody(a, c):
+                d3_s[pl.ds(a, 1)] = (ev_ref[a] + dvv_ref[:])[None]
+                return c
+
+            jax.lax.fori_loop(jnp.int32(0), jnp.int32(vp), dbody, jnp.int32(0))
 
         def dot2(a, b):
             return jax.lax.dot_general(
@@ -343,13 +359,11 @@ def _fused_kernel(o: int, v: int, vp: int, mp: int):
         # (occ-pair, third-index) combinations, so each pair fuses into
         # one K-concatenated MXU dot: rhs rows [vovv[f,x,b,c]; t2[m,x,b,c]]
         # (vFM, built host-side), lhs cols [t2[p,q,a,f] | ovoo->(a,m)].
-        # Per-dot issue cost dominates here (~20 us each, ablated), so 3
-        # dots instead of 6 nearly halves the GEMM wall.  Signs ride on
-        # the small lhs operands so every statement is a pure
-        # accumulation (read-modify-write `s - dot` chains ablated ~7 ms
-        # slower).  The (vp, vp^2) -> (vp, vp, vp) reshape is layout-free
-        # because vp is a multiple of the 128-lane tile.  m-sums enter
-        # with flipped sign via t2 antisymmetry in (b,c):
+        # Signs ride on the small lhs operands so every statement is a
+        # pure accumulation (read-modify-write `s - dot` chains ablated
+        # ~7 ms slower).  The (vp, vp^2) -> (vp, vp, vp) reshape is
+        # layout-free because vp is a multiple of the 128-lane tile.
+        # m-sums enter with flipped sign via t2 antisymmetry in (b,c):
         # sum_m t2[m,i,c,b] <ma||jk> = -sum_m t2[m,i,b,c] <ma||jk>
         lhs_jk = jnp.concatenate([t2a_jk[0, 0], ovA_jk[0, 0]], axis=1)
         lhs_ik = jnp.concatenate([t2a_ik[0, 0], ovA_ik[0, 0]], axis=1)
@@ -358,54 +372,60 @@ def _fused_kernel(o: int, v: int, vp: int, mp: int):
         t3_s[:] += dot2(-lhs_ik, vFM_j[0]).reshape(vp, vp, vp)
         t3_s[:] += dot2(-lhs_ji, vFM_k[0]).reshape(vp, vp, vp)
 
-        # ---- s = t3c + t3d, built a-plane-wise from t1 x oovv outers ----
+        # ---- s = t3c + t3d with t3d as ONE K=3 MXU dot ----
+        # t3d[a, bc] = t1[i,a] W_jk[bc] - t1[j,a] W_ik[bc] + t1[k,a] W_ij[bc]
+        #            = [t1i | -t1j | t1k](a, 3) @ [W_jk; W_ik; W_ij](3, bc)
+        # (W rows arrive pre-flattened (1, vp^2) from the host-side
+        # reshape, so no in-kernel sublane->lane relayout is needed)
         i = ii_ref[p]
         j = jj_ref[p]
         k = kk_ref[p]
-
-        def sbody(a, c):
-            t1i = t1_ref[i * vp + a]
-            t1j = t1_ref[j * vp + a]
-            t1k = t1_ref[k * vp + a]
-            # t3d[a] = t1[i,a] <jk||bc> - t1[j,a] <ik||bc> + t1[k,a] <ij||bc>
-            # (third sign flipped via <ji||bc> = -<ij||bc>)
-            y = t1i * W_jk[0, 0] - t1j * W_ik[0, 0] + t1k * W_ij[0, 0]
-            s_s[pl.ds(a, 1)] = (t3_s[pl.ds(a, 1)][0] + y)[None]
-            return c
-
-        jax.lax.fori_loop(jnp.int32(0), jnp.int32(v), sbody, jnp.int32(0))
+        t1cols = jnp.concatenate(
+            [
+                jnp.transpose(t1v_ref[pl.ds(i, 1), :], (1, 0)),
+                -jnp.transpose(t1v_ref[pl.ds(j, 1), :], (1, 0)),
+                jnp.transpose(t1v_ref[pl.ds(k, 1), :], (1, 0)),
+            ],
+            axis=1,
+        )  # (vp, 3)
+        wrows = jnp.concatenate(
+            [W_jk[0, 0], W_ik[0, 0], W_ij[0, 0]], axis=0
+        )  # (3, vp^2)
+        s_s[:] = t3_s[:] + dot2(t1cols, wrows).reshape(vp, vp, vp)
 
         # ---- energy: sum x * (P^2 s) / D  with P = I - T_ab - T_ac ----
         # P self-adjoint, D fully symmetric => sum P(x) P(s) / D
         #   = sum x * (3 s - 2 s_bac - 2 s_cba + s_cab + s_bca) / D.
-        # All four permutations of s are materialised as whole-array VMEM
-        # transposes (measured ~2.5 us each per panel — far cheaper than
-        # per-plane strided reads + 2-D transposes in the reduction loop,
-        # which ablated at ~42 us/panel).
-        sbac_s[:] = jnp.transpose(s_s[:], (1, 0, 2))  # [p,q,r] -> s[q,p,r]
-        scba_s[:] = jnp.transpose(s_s[:], (2, 1, 0))  # -> s[r,q,p]
-        scab_s[:] = jnp.transpose(s_s[:], (2, 0, 1))  # -> s[q,r,p] (bca)
-        sbca_s[:] = jnp.transpose(s_s[:], (1, 2, 0))  # -> s[r,p,q] (cab)
+        # Whole-array VMEM transposes (~2.5 us each) + whole-array
+        # elementwise/reduce passes; h accumulates through tmp_s so only
+        # two scratch buffers are live instead of four permuted copies.
+        h_s[:] = jnp.float32(3.0) * s_s[:]
+        tmp_s[:] = jnp.transpose(s_s[:], (1, 0, 2))  # s_bac
+        h_s[:] += jnp.float32(-2.0) * tmp_s[:]
+        tmp_s[:] = jnp.transpose(s_s[:], (2, 1, 0))  # s_cba
+        h_s[:] += jnp.float32(-2.0) * tmp_s[:]
+        tmp_s[:] = jnp.transpose(s_s[:], (2, 0, 1))  # s_cab ([a,b,c]->[c,a,b])
+        h_s[:] += tmp_s[:]
+        tmp_s[:] = jnp.transpose(s_s[:], (1, 2, 0))  # s_bca
+        h_s[:] += tmp_s[:]
 
-        dvv = dvv_ref[:]
         eo = eo_ref[p]
+        # Mosaic cannot reduce a whole (vp,vp,vp) value (relayout check
+        # fails) — materialise the product and reduce in 8-plane blocks
+        # (16 iterations vs the previous per-plane loop's 106, each a
+        # full-sublane (8,128,128) pass).  Conditioning is equivalent to
+        # the previous per-plane Kahan chain at these magnitudes
+        # (validated vs the 1e-8 goldens).
+        tmp_s[:] = t3_s[:] * h_s[:] / (eo - d3_s[:])
 
-        def accb(a, acc):
-            sl = pl.ds(a, 1)
-            x_p = t3_s[sl][0]  # t3c a-plane (the GEMM panel)
-            h = (
-                jnp.float32(3.0) * s_s[sl][0]
-                - jnp.float32(2.0) * sbac_s[sl][0]
-                - jnp.float32(2.0) * scba_s[sl][0]
-                + scab_s[sl][0]
-                + sbca_s[sl][0]
-            )
-            d_a = (eo - ev_ref[a]) - dvv
-            return _ksum(acc, jnp.sum(x_p * h / d_a))
+        def rbody(b, acc):
+            blk = tmp_s[pl.ds(b * 8, 8)]
+            return acc + jnp.sum(jnp.sum(blk, axis=0))
 
-        z = jnp.float32(0.0)
-        s, c = jax.lax.fori_loop(jnp.int32(0), jnp.int32(v), accb, (z, z))
-        out_ref[pl.ds(row, 1), :] = jnp.full((1, 128), s + c, f32)
+        total = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(vp // 8), rbody, jnp.float32(0.0)
+        )
+        out_ref[pl.ds(row, 1), :] = jnp.full((1, 128), total, f32)
 
     return kernel
 
@@ -811,8 +831,15 @@ def triples_fused(
     )
     # one K-concatenated rhs per third-index: [vovv[f,x,:,:]; t2[m,x,:,:]]
     vFM = jnp.concatenate([vF, t2M], axis=1).reshape(o, vp + mp, vp * vp)
+    # W rows pre-flattened to (o, o, 1, vp^2): the kernel consumes them
+    # as (1, vp^2) rows of the t3d K=3 dot's rhs (in-kernel (vp,vp) ->
+    # (1,vp^2) value reshapes would be sublane->lane relayouts; the unit
+    # third axis satisfies the Mosaic block rule that the last two block
+    # dims be tile-divisible or equal to the array dims)
     Wv = jnp.pad(oovv.astype(f32), ((0, 0), (0, 0), (0, pv), (0, pv)))
-    t1flat = jnp.pad(t1.astype(f32), ((0, 0), (0, pv))).reshape(-1)
+    Wflat = Wv.reshape(o, o, 1, vp * vp)
+    t1v = jnp.pad(t1.astype(f32), ((0, 0), (0, pv)))
+    t1flat = t1v.reshape(-1)
     evp = jnp.pad(e_v.astype(f32), (0, pv), constant_values=1e3)
     dvv = evp[:, None] + evp[None, :]
     eo_sum = (e_o[ii] + e_o[jj] + e_o[kk]).astype(f32)
@@ -825,11 +852,16 @@ def triples_fused(
         (1, vp + mp, vp * vp), im, memory_space=pltpu.VMEM
     )
     bsA = lambda im: pl.BlockSpec((1, 1, vp, mp), im, memory_space=pltpu.VMEM)
+    bsW = lambda im: pl.BlockSpec(
+        (1, 1, 1, vp * vp), im, memory_space=pltpu.VMEM
+    )
     # index maps receive (p, *prefetch_refs); triples select their blocks
     jk = lambda p, ii, jj, kk, *_: (jj[p], kk[p], 0, 0)
     ik = lambda p, ii, jj, kk, *_: (ii[p], kk[p], 0, 0)
     ji = lambda p, ii, jj, kk, *_: (jj[p], ii[p], 0, 0)
-    ij = lambda p, ii, jj, kk, *_: (ii[p], jj[p], 0, 0)
+    jk3 = lambda p, ii, jj, kk, *_: (jj[p], kk[p], 0, 0)
+    ik3 = lambda p, ii, jj, kk, *_: (ii[p], kk[p], 0, 0)
+    ij3 = lambda p, ii, jj, kk, *_: (ii[p], jj[p], 0, 0)
     bi = lambda p, ii, jj, kk, *_: (ii[p], 0, 0)
     bj = lambda p, ii, jj, kk, *_: (jj[p], 0, 0)
     bk = lambda p, ii, jj, kk, *_: (kk[p], 0, 0)
@@ -841,13 +873,14 @@ def triples_fused(
             bs4(jk), bs4(ik), bs4(ji),          # t2a lhs halves (a,f)
             bsA(jk), bsA(ik), bsA(ji),          # ovoo lhs halves (a,m)
             bsF(bi), bsF(bj), bsF(bk),          # K-concat rhs (f+m, b*c)
-            bs4(jk), bs4(ik), bs4(ij),          # oovv W panels
+            bsW(jk3), bsW(ik3), bsW(ij3),       # oovv W rows (1, vp^2)
+            pl.BlockSpec((o, vp), lambda p, *_: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((vp, vp), lambda p, *_: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (8, 128), lambda p, *_: (p // 8, 0), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[pltpu.VMEM((vp, vp, vp), f32)] * 6,
+        scratch_shapes=[pltpu.VMEM((vp, vp, vp), f32)] * 5,
     )
     with jax.enable_x64(False):
         partials = pl.pallas_call(
@@ -864,7 +897,8 @@ def triples_fused(
             t2a, t2a, t2a,
             ovA, ovA, ovA,
             vFM, vFM, vFM,
-            Wv, Wv, Wv,
+            Wflat, Wflat, Wflat,
+            t1v,
             dvv,
         )
     return jnp.sum(partials[:C, 0], dtype=jnp.float64)

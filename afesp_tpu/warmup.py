@@ -40,6 +40,29 @@ _THREADS: dict[str, threading.Thread] = {}
 _AOT_NBASIS = 80
 
 
+def _run_concurrently(fns) -> None:
+    """Run prefetch legs in parallel threads and wait for all.  Used for
+    dummy first executions: their cost is a blocking server-RPC program
+    load with zero local CPU, and loads issued concurrently overlap
+    (measured: 514 s serial vs 121 s concurrent for solve+triples)."""
+    if len(fns) == 1:
+        fns[0]()
+        return
+    errs = []
+
+    def wrap(fn):
+        try:
+            fn()
+        except Exception as e:  # best-effort, like the outer thread
+            errs.append(e)
+
+    ts = [threading.Thread(target=wrap, args=(f,), daemon=True) for f in fns]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+
+
 def _dummy_levels(nbasis: int, nocc_spatial: int) -> np.ndarray:
     """Levels with strictly negative occ / positive virt so every energy
     denominator is nonzero (no NaN/Inf in the dummy solve)."""
@@ -117,16 +140,18 @@ def _prefetch_spinorb(
         eri, levels, nocc_spatial=no_sp
     )
     state = init_cc_state(t1, t2, nerr)
+
     # strong-typed f64 inf tolerances: the production call passes
     # jnp.float64(cfg.*_tol), and a weak-typed Python float here would
     # land in a DIFFERENT jit cache entry — silently defeating the warmup
-    st, n_iter, *_ = solver(
-        state, v, D_ia, D_ijab, v.oovv, e0,
-        jnp.float64(np.inf), jnp.float64(np.inf), nerr=nerr, maxiter=maxiter
-    )
-    int(n_iter)  # block until the executable is resident
+    def _exec_solve():
+        st, n_iter, *_ = solver(
+            state, v, D_ia, D_ijab, v.oovv, e0,
+            jnp.float64(np.inf), jnp.float64(np.inf), nerr=nerr, maxiter=maxiter
+        )
+        int(n_iter)  # block until the executable is resident
 
-    if triples:
+    def _exec_triples():
         from .methods.triples_spinorb import _triples_total_strict, strict_plan
 
         nocc, nvirt = nel, 2 * nbasis - nel
@@ -148,6 +173,15 @@ def _prefetch_spinorb(
                 precision=t_prec,
             )
             float(e_t)
+
+    # The dummy first executions trigger the SERVER-SIDE program loads
+    # (the dominant per-process start-up cost with a warm compile cache:
+    # a blocking RPC with zero local CPU, measured 30-460 s for the big
+    # solve alone, load-dependent).  Concurrent first executions DO
+    # overlap — tools/measure_coldstart.py / probe: serial 460 s + 54 s
+    # = 514 s vs 121 s wall for the same two loads issued together — so
+    # each program gets its own loader thread.
+    _run_concurrently([_exec_solve] + ([_exec_triples] if triples else []))
 
 
 def _prefetch_spatial(
@@ -249,14 +283,62 @@ def _prefetch_spatial(
     levels = jnp.asarray(_dummy_levels(nbasis, nocc))
     v, D_ia, D_ijab, t1, t2, e0, _ = spatial_cc_init(eri, levels, nocc=nocc)
     state = init_cc_state(t1, t2, nerr)
+
     # strong-typed f64 tolerances — see _prefetch_spinorb
-    st, n_iter, *_ = solver(
-        state, v, D_ia, D_ijab, v.v_oovv, e0,
-        jnp.float64(np.inf), jnp.float64(np.inf), nerr=nerr, maxiter=maxiter
-    )
-    int(n_iter)
-    if triples:
-        _prefetch_spatial_triples()
+    def _exec_solve():
+        st, n_iter, *_ = solver(
+            state, v, D_ia, D_ijab, v.v_oovv, e0,
+            jnp.float64(np.inf), jnp.float64(np.inf), nerr=nerr, maxiter=maxiter
+        )
+        int(n_iter)
+
+    def _exec_triples():
+        # EXECUTE the production triples programs on the dummy operands
+        # (a .compile() alone cannot trigger the server-side load)
+        nvirt = nbasis - nocc
+        t_prec = precision
+        if t_prec == "hybrid" and jax.default_backend() in ("tpu", "axon"):
+            t_prec = "fused" if nvirt <= 128 else "pallas"
+        e_o, e_v = levels[:nocc], levels[nocc:]
+        if doing_cr:
+            from .methods.triples_spatial import cr_intermediates
+
+            Iv, Jo = cr_intermediates(
+                t1, t2, t1, t2, v, nocc=nocc, precision=t_prec
+            )
+        else:
+            Iv = jnp.zeros((nvirt, nocc, nvirt, nvirt))
+            Jo = jnp.zeros((nocc, nocc, nocc, nvirt))
+        targs = (t1, t2, v.v_vvov, v.v_oovo, v.v_oovv, e_o, e_v, Iv, Jo)
+        if t_prec == "fused":
+            from .methods.triples_spatial import strict_spatial_plan
+            from .ops.triples_pallas import triples_fused_spatial
+
+            si, sj, sk, _w = strict_spatial_plan(nocc)
+            out = triples_fused_spatial(
+                *targs,
+                jnp.asarray(si), jnp.asarray(sj), jnp.asarray(sk),
+                has_m=doing_cr,
+            )
+            np.asarray(out)
+        else:
+            from .methods.triples_spatial import (
+                _triples_total_spatial,
+                pick_spatial_jlen,
+            )
+
+            jlen = pick_spatial_jlen(nocc, nvirt, t_prec)
+            out = _triples_total_spatial(
+                *targs,
+                nocc=nocc, jlen=jlen,
+                doing_T=t_flags[0], doing_R=t_flags[1], doing_CR=t_flags[2],
+                precision=t_prec,
+            )
+            [float(x) for x in out]
+
+    # concurrent dummy first executions: the server-side program loads
+    # overlap (see _run_concurrently)
+    _run_concurrently([_exec_solve] + ([_exec_triples] if triples else []))
 
 
 def start(sys_, cfg) -> None:

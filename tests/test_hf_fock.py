@@ -50,8 +50,13 @@ def test_fock_paths_agree_at_threshold_boundary():
 
 def test_fock_packed_triangle_download_paths():
     """The packed-upper-triangle device download (the large-n tunnel
-    optimisation in do_rhf) must reconstruct the exact full Fock, and
-    the early-iteration f32 variant must agree to f32 resolution."""
+    optimisation in do_rhf) must reconstruct the full Fock to roundoff,
+    and the early-iteration f32 variant must agree to f32 resolution.
+
+    Roundoff, not bitwise: the packed and full builds are two different
+    XLA programs, and the digit-GEMM recombination's single fused f64
+    reduction (ops/exact_gemm._recombine) may associate differently
+    under each program's fusion choices — a ~1-ulp effect."""
     from afesp_tpu.methods.hf import _fock_build_split
 
     n = 24
@@ -68,7 +73,8 @@ def test_fock_packed_triangle_download_paths():
     F = np.empty((n, n))
     F[iu] = fp
     F.T[iu] = fp
-    np.testing.assert_allclose(F, F_full, rtol=0, atol=0)
+    scale_f = np.max(np.abs(F_full))
+    np.testing.assert_allclose(F, F_full, rtol=0, atol=1e-14 * scale_f)
 
     fp32 = np.asarray(
         _fock_build_split(
