@@ -7,8 +7,21 @@ the PRODUCTION strict-triangle (i<j<k) chunk grid — the exact same
 the hybrid-f32 and Pallas-finale variants; the spatial path shards the
 (i, j-slab) `_islice_terms` grid.  Each device runs its share in a local
 fori_loop and psum-reduces the energies over the mesh.  Amplitudes and
-ERI slices are replicated: at this problem scale they are tiny next to
-the o^3 v^3 work, and the grids are embarrassingly parallel.
+ERI slices are replicated — a deliberate trade, not an omission:
+
+- The mesh's MEMORY-scaling path is the CCSD solve (ccsd_shard
+  .ccsd_solve_sharded_ext): v_vvvv — the one O(v^4) operand, ~8x any
+  triples operand — shards over its digit-chunk axis, so per-device
+  bytes shrink 1/n_dev (asserted in tests/test_parallel
+  .test_sharded_ext_solve_scales_memory_and_matches).
+- The triples operands are O(o v^3) (vovv / VvF / IvF).  Sharding them
+  over the CONTRACTED axis would psum an O(v^3)-per-triple panel across
+  the mesh every grid step — at 174 bf that is ~16 MB of ICI traffic
+  per triple against ~1 ms of local GEMM, strictly worse than holding
+  the 0.5 GB operand replicated; sharding over a free panel axis still
+  needs the full operand on every device (it is the GEMM rhs).
+  Replication + grid-sharding is the right point until operands reach
+  multi-GB, which v_vvvv hits first and CCSD already covers.
 
 `triples_chunk_energies`-based sharding (per-(i,j,k) gather batches) is
 kept only as the full-cube oracle for the parity tests.

@@ -40,6 +40,28 @@ _THREADS: dict[str, threading.Thread] = {}
 _AOT_NBASIS = 80
 
 
+def _cache_warm() -> bool:
+    """True when the persistent XLA compile cache directory holds entries
+    (e.g. the committed .jax_cache/ artifact).  With a warm cache,
+    "compiling" is seconds of deserialisation, so even a 1-core host can
+    afford the prefetch thread — and *executing* the big programs there
+    is nearly free locally while triggering the server-side
+    first-execution program loads (the real per-process cost, measured
+    30-460 s each) concurrently with the HF/MP2 stages."""
+    cache = os.environ.get("AFESP_JAX_CACHE")
+    if cache is None:
+        from pathlib import Path
+
+        cache = str(Path(__file__).resolve().parent.parent / ".jax_cache")
+    if not cache:
+        return False
+    try:
+        with os.scandir(cache) as it:
+            return any(e.name.endswith("-cache") for e in it)
+    except OSError:
+        return False
+
+
 def _run_concurrently(fns) -> None:
     """Run prefetch legs in parallel threads and wait for all.  Used for
     dummy first executions: their cost is a blocking server-RPC program
@@ -107,7 +129,12 @@ def _prefetch_spinorb(
     else:
         t_prec = "hybrid"
 
-    if nbasis > _AOT_NBASIS:
+    # Large tier, cold cache: AOT-lower/compile from abstract shapes only
+    # (no HBM footprint, no local-compile contention on the execute path).
+    # With a WARM cache the execute path below is strictly better: the
+    # deserialise is seconds and the dummy executions pull the
+    # server-side program loads forward, off the critical path.
+    if nbasis > _AOT_NBASIS and not _cache_warm():
         eri_s, lv_s = _sds((nbasis,) * 4), _sds((nbasis,))
         init_fn = partial(spinorb_cc_init, nocc_spatial=no_sp)
         v_s, D_ia_s, D_ijab_s, t1_s, t2_s, e0_s, _ = jax.eval_shape(
@@ -262,7 +289,8 @@ def _prefetch_spatial(
                 precision=t_prec,
             ).compile()
 
-    if nbasis > _AOT_NBASIS:
+    # same warm-cache execute-warmup rationale as _prefetch_spinorb
+    if nbasis > _AOT_NBASIS and not _cache_warm():
         eri_s, lv_s = _sds((nbasis,) * 4), _sds((nbasis,))
         init_fn = partial(spatial_cc_init, nocc=nocc)
         v_s, D_ia_s, D_ijab_s, t1_s, t2_s, e0_s, _ = jax.eval_shape(
@@ -354,14 +382,17 @@ def start(sys_, cfg) -> None:
         # transform) have different signatures than the dense-tier ones
         # lowered below — prefetching the wrong set only burns the core
         return
-    # Above the AOT threshold the prefetch only .lower().compile()s from
-    # abstract shapes — it can NOT trigger the expensive server-side
-    # program load (only a first execution does, measured 12-60 s for
-    # the big programs through the tunnel), so all it would hide is the
-    # ~seconds of persistent-cache deserialisation.  On this single-core
-    # host the thread meanwhile taxes the HF/MP2 stages by 50-150 s of
-    # GIL/CPU contention (measured) — a bad trade.  Let the CC stages
-    # pay their own (cached) compiles inline instead.
+    # Above the AOT threshold, whether prefetching pays depends on the
+    # persistent-cache state:
+    # - WARM cache (entries present — e.g. the committed .jax_cache/):
+    #   "compiling" is seconds of deserialisation and the real cost is
+    #   the per-process SERVER-SIDE first-execution load of each
+    #   program (zero local CPU, and loads overlap — see
+    #   _run_concurrently).  Prefetch wins outright.
+    # - COLD cache on a <=2-core host: the thread's local XLA compiles
+    #   (150-330 s/program) tax the HF/MP2 stages by 50-150 s of
+    #   GIL/CPU contention (measured) — a bad trade; let the CC stages
+    #   pay their own compiles inline.
     # usable cores = the scheduler affinity quota, not the host count:
     # in a CPU-limited container os.cpu_count() reports all host cores
     # and the contention gate would never fire
@@ -369,7 +400,7 @@ def start(sys_, cfg) -> None:
         usable_cores = len(os.sched_getaffinity(0))
     except (AttributeError, OSError):
         usable_cores = os.cpu_count() or 1
-    if sys_.nbasis > _AOT_NBASIS and usable_cores <= 2:
+    if sys_.nbasis > _AOT_NBASIS and usable_cores <= 2 and not _cache_warm():
         return
 
     def run():

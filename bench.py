@@ -130,6 +130,45 @@ def bench_real(workdir: Path):
             alt[f"t_wall_{prec}"] = None
             alt[f"{prec}_ok"] = None
 
+    # tunnel readback round-trip floor: every synced stage wall above
+    # includes one of these (~29 ms measured), so it is ALSO the floor
+    # of any per-call stage metric through this tunnel
+    x_t = jnp.ones((8, 128))
+    tiny = jax.jit(lambda x: (x * 2.0).sum())
+    _force(tiny(x_t))
+    t0 = time.perf_counter()
+    for _ in range(5):
+        _force(tiny(x_t))
+    rtt = (time.perf_counter() - t0) / 5
+
+    # pipelined triples throughput: k calls enqueued back-to-back, one
+    # sync — the device-side stage time a directly-attached TPU would
+    # see (t_wall above = RTT + this)
+    from afesp_tpu.methods.triples_spinorb import (
+        _strict_plan_device,
+        _triples_total_strict,
+    )
+    from afesp_tpu.ops.spin import spinorb_levels
+
+    lv = spinorb_levels(jnp.asarray(hf.levels), sys_.nel // 2)
+    no, nv_so = sys_.nocc, sys_.nvirt
+    iid, jjd, kkd, clen = _strict_plan_device(no, nv_so, "fused")
+    targs = (
+        jnp.asarray(cc.t1), jnp.asarray(cc.t2),
+        cc.slices.vovv, cc.slices.ovoo, cc.slices.oovv,
+        lv[:no], lv[no:],
+    )
+    r = _triples_total_strict(*targs, iid, jjd, kkd, clen=clen, precision="fused")
+    _force(r)
+    t0 = time.perf_counter()
+    k = 5
+    for _ in range(k):
+        r = _triples_total_strict(
+            *targs, iid, jjd, kkd, clen=clen, precision="fused"
+        )
+    _force(r)
+    t_pipelined = (time.perf_counter() - t0) / k
+
     # accuracy gate vs the reference run (els_cpu.out): 1e-8 Ha contract
     ok_ccsd = abs(cc.e_ccsd - -0.399789132814) < 1e-8
     ok_t = abs(e_t - -0.434032756) < 1e-8
@@ -157,6 +196,8 @@ def bench_real(workdir: Path):
         "mp2_wall_first": mp2_cold,
         "ccsd_wall": ccsd_wall,
         "t_wall": t_wall,
+        "t_wall_pipelined": t_pipelined,
+        "tunnel_rtt": rtt,
         **alt,
         "total_wall": total_steady,
         "total_wall_first": total_first,
