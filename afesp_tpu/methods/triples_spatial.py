@@ -543,8 +543,13 @@ def do_ccsd_t_spatial(
         partials = triples_fused_spatial(
             *targs, si, sj, sk, has_m=doing_CR,
         )
+        # (C, 8, 768) compensated partial grids: f64-sum each 128-lane
+        # grid per sum, then apply the f64 orbit weights — the f64
+        # combine of ~1e-5-scale f32 slots keeps per-triple error at
+        # slot-ulp scale (see the kernel's export comment)
+        g = partials[:ntrip].astype(jnp.float64).reshape(ntrip, 8, 6, 128)
         s = jnp.sum(
-            partials[:ntrip, :6].astype(jnp.float64) * w[:, None],
+            jnp.sum(g, axis=(1, 3)) * w[:, None],
             axis=0,
         )
         totals = (s[0], s[0] + s[1], s[2], s[2] + s[3], s[4], s[4] + s[5])

@@ -484,24 +484,36 @@ def _fused_spatial_kernel(o: int, v: int, vp: int, mp: int, has_m: bool):
         s0 = t3_D.Mt3  s1 = t3_D.Mz3  s2 = y.Mt3
         s3 = y.Mz3     s4 = m3.Mt3    s5 = m3.Mz3
 
-    reduce per a-plane.  The big VvF/IvF operands stay in HBM and are
-    manually DMA'd into single-buffered scratch only when their
+    reduce in 8-plane blocks.  The big VvF/IvF operands stay in HBM
+    and are manually DMA'd into single-buffered scratch only when their
     occupied index changes (auto double-buffering of six 8.4 MB blocks
-    would not fit VMEM next to the five panel scratches)."""
+    would not fit VMEM next to the panel scratches).
+
+    r3 rework (same issue-cost amortisation as _fused_kernel): t3/z3/y
+    are built by whole-array passes — z3 and y as three (vp,1)x(1,vp^2)
+    rank-1 MXU dots each against host-flattened W / (outer(t1,t1)+t2) /
+    t2 rows, the divisions in vp/8 full-sublane blocks — and the six
+    energy reductions also run in vp/8 full-sublane blocks,
+    replacing the previous three ~v-iteration per-plane loops (~10x
+    fewer VPU op issues per triple)."""
     f32 = jnp.float32
     n_fetch = 6 if has_m else 3
 
     def kernel(*refs):
-        (ii_ref, jj_ref, kk_ref, eo_ref, ev_ref, t1_ref) = refs[:6]
-        pos = 6
+        (ii_ref, jj_ref, kk_ref, eo_ref, ev_ref) = refs[:5]
+        pos = 5
         t2a = refs[pos : pos + 6]; pos += 6
         vol = refs[pos : pos + 6]; pos += 6
         if has_m:
             jot = refs[pos : pos + 6]; pos += 6
         t2m = refs[pos : pos + 3]; pos += 3
-        wvv = refs[pos : pos + 3]; pos += 3
+        wfl = refs[pos : pos + 3]; pos += 3
+        yfl_jk = refs[pos]; pos += 1
+        t2fl_ik = refs[pos]; pos += 1
+        t2fl_ij = refs[pos]; pos += 1
         t1v_ref = refs[pos]; pos += 1
         dvv_ref = refs[pos]; pos += 1
+        evc_ref = refs[pos]; pos += 1
         vvf_hbm = refs[pos]; pos += 1
         if has_m:
             ivf_hbm = refs[pos]; pos += 1
@@ -512,11 +524,6 @@ def _fused_spatial_kernel(o: int, v: int, vp: int, mp: int, has_m: bool):
         sems = refs[pos]
 
         p = pl.program_id(0)
-        row = jax.lax.rem(p, jnp.int32(8))
-
-        @pl.when(row == 0)
-        def _():
-            out_ref[:] = jnp.zeros_like(out_ref)
 
         idx = (ii_ref[p], jj_ref[p], kk_ref[p])
 
@@ -576,23 +583,32 @@ def _fused_spatial_kernel(o: int, v: int, vp: int, mp: int, has_m: bool):
                 raw = raw if perm == _ID else jnp.transpose(raw, perm)
                 m3_s[:] += -raw
 
-        dvv = dvv_ref[:]
         eo = eo_ref[p]
         i, j, k = idx
 
-        # ---- t3 = t3_D / D, plane-wise ----
-        def bt3(a, c):
-            d_a = (eo - ev_ref[a]) - dvv
-            wk_s[pl.ds(a, 1)] = t3d_s[pl.ds(a, 1)] / d_a[None]
-            return c
+        dvv3 = dvv_ref[:][None]  # (1, vp, vp), broadcast against cubes
 
-        @pl.when(p == 0)
-        def _():
-            # planes a >= v are never written; zero once so M's
-            # whole-array transposes read zeros, not garbage
-            wk_s[:] = jnp.zeros_like(wk_s)
+        # ---- denominator division, in vp/8 full-sublane blocks ----
+        # The association is (eo - ev[a]) - dvv — the SAME f32 rounding
+        # draw as the validated per-plane kernel; ev[a] arrives as the
+        # (vp,1) VMEM column evc_ref (a whole ev cube would blow the
+        # 128M VMEM budget by exactly its 8M).  Padded planes carry
+        # ev=1e3 (finite denominators); every cube built here is
+        # exactly zero there (zero-padded operands), so padded entries
+        # contribute 0 to the reductions.
+        def div_blocks(dst, src):
+            def body(b, c):
+                sl = pl.ds(b * 8, 8)
+                evb = evc_ref[sl, :].reshape(8, 1, 1)
+                dst[sl] = src[sl] / ((eo - evb) - dvv3)
+                return c
 
-        jax.lax.fori_loop(jnp.int32(0), jnp.int32(v), bt3, jnp.int32(0))
+            jax.lax.fori_loop(
+                jnp.int32(0), jnp.int32(vp // 8), body, jnp.int32(0)
+            )
+
+        # ---- t3 = t3_D / D ----
+        div_blocks(wk_s, t3d_s)
 
         def build_M(dst):
             dst[:] = jnp.float32(8.0) * wk_s[:]
@@ -604,64 +620,72 @@ def _fused_spatial_kernel(o: int, v: int, vp: int, mp: int, has_m: bool):
 
         build_M(mt_s)
 
-        # ---- z3 plane-wise into wk_s, then Mz ----
+        # ---- z3 as three K=1 MXU dots (no per-plane loop) ----
         # z3[a,b,c] = (t1[i,a] W[j,k][b,c] + t1[j,b] W[i,k][a,c]
         #              + t1[k,c] W[i,j][a,b]) / D  (Piecuch Eq. 60)
-        t1row_j = t1v_ref[pl.ds(j, 1), :]  # (1, vp)
-        t1row_k = t1v_ref[pl.ds(k, 1), :]
-
-        def bz3_full(a, c):
-            t1i = t1_ref[i * vp + a]
-            d_a = (eo - ev_ref[a]) - dvv
-            wik_a = wvv[1][0, 0, pl.ds(a, 1), :]          # W[i,k][a,:] (1,vp)
-            wij_a = wvv[2][0, 0, pl.ds(a, 1), :]          # W[i,j][a,:] (1,vp)
-            z = (
-                t1i * wvv[0][0, 0]
-                + jnp.transpose(t1row_j, (1, 0)) * wik_a   # t1[j,b] W[i,k][a,c]
-                + jnp.transpose(wij_a, (1, 0)) * t1row_k   # t1[k,c] W[i,j][a,b]
-            )
-            wk_s[pl.ds(a, 1)] = (z / d_a)[None]
-            return c
-
-        jax.lax.fori_loop(jnp.int32(0), jnp.int32(v), bz3_full, jnp.int32(0))
+        # Each rank-1 term is one (vp,1)x(1,vp^2) dot in its natural
+        # layout; the odd ones land as [b,(a,c)] / [c,(a,b)] and a
+        # whole-array transpose (~2.5 us) brings them to [a,b,c].
+        t1i_col = jnp.transpose(t1v_ref[pl.ds(i, 1), :], (1, 0))  # (vp,1)
+        t1j_col = jnp.transpose(t1v_ref[pl.ds(j, 1), :], (1, 0))
+        t1k_col = jnp.transpose(t1v_ref[pl.ds(k, 1), :], (1, 0))
+        wk_s[:] = dot2(t1i_col, wfl[0][0, 0]).reshape(vp, vp, vp)
+        wk_s[:] += jnp.transpose(
+            dot2(t1j_col, wfl[1][0, 0]).reshape(vp, vp, vp), (1, 0, 2)
+        )
+        wk_s[:] += jnp.transpose(
+            dot2(t1k_col, wfl[2][0, 0]).reshape(vp, vp, vp), (1, 2, 0)
+        )
+        div_blocks(wk_s, wk_s)
         build_M(mz_s)
 
-        # ---- six reductions, plane-wise ----
-        jk_outer = jnp.transpose(t1row_j, (1, 0)) * t1row_k  # t1[j,b] t1[k,c]
+        # ---- y cube, same three-dot structure ----
+        # y[a,b,c] = t1[i,a] (t1[j,b] t1[k,c] + t2[j,k][b,c])
+        #            + t1[j,b] t2[i,k][a,c] + t1[k,c] t2[i,j][a,b]
+        # (yfl_jk rows arrive host-built as outer(t1,t1)+t2, flattened)
+        wk_s[:] = dot2(t1i_col, yfl_jk[0, 0]).reshape(vp, vp, vp)
+        wk_s[:] += jnp.transpose(
+            dot2(t1j_col, t2fl_ik[0, 0]).reshape(vp, vp, vp), (1, 0, 2)
+        )
+        wk_s[:] += jnp.transpose(
+            dot2(t1k_col, t2fl_ij[0, 0]).reshape(vp, vp, vp), (1, 2, 0)
+        )
 
-        def accb(a, acc):
+        # ---- six reductions in 8-plane blocks (vp/8 full-sublane
+        # passes instead of v per-plane passes).  Each block reduces
+        # only the lane axis (128-element sums) and Kahan-accumulates
+        # the (8,128) partial grid elementwise — compensation applied
+        # to 128-element partials is strictly better conditioned than
+        # the previous per-plane scheme's 16k-element inner sums. ----
+        def accb(b, acc):
             s0, s1, s2, s3, s4, s5 = acc
-            sl = pl.ds(a, 1)
-            x = t3d_s[sl][0]
-            mt = mt_s[sl][0]
-            mz = mz_s[sl][0]
-            s0 = _ksum(s0, jnp.sum(x * mt))
-            s1 = _ksum(s1, jnp.sum(x * mz))
-            t1i = t1_ref[i * vp + a]
-            tik_a = t2a[3][0, 0, pl.ds(a, 1), :]   # t2[i,k][a,:] (1,vp)
-            tij_a = t2a[0][0, 0, pl.ds(a, 1), :]   # t2[i,j][a,:] (1,vp)
-            y = (
-                t1i * (jk_outer + t2a[4][0, 0])     # t1[i,a](t1jxt1k + t2[j,k])
-                + jnp.transpose(t1row_j, (1, 0)) * tik_a
-                + jnp.transpose(tij_a, (1, 0)) * t1row_k
-            )
-            s2 = _ksum(s2, jnp.sum(y * mt))
-            s3 = _ksum(s3, jnp.sum(y * mz))
+            sl = pl.ds(b * 8, 8)
+            x = t3d_s[sl]
+            mt = mt_s[sl]
+            mz = mz_s[sl]
+            yb = wk_s[sl]
+            s0 = _ksum(s0, jnp.sum(x * mt, axis=1))
+            s1 = _ksum(s1, jnp.sum(x * mz, axis=1))
+            s2 = _ksum(s2, jnp.sum(yb * mt, axis=1))
+            s3 = _ksum(s3, jnp.sum(yb * mz, axis=1))
             if has_m:
-                m = m3_s[sl][0]
-                s4 = _ksum(s4, jnp.sum(m * mt))
-                s5 = _ksum(s5, jnp.sum(m * mz))
+                m = m3_s[sl]
+                s4 = _ksum(s4, jnp.sum(m * mt, axis=1))
+                s5 = _ksum(s5, jnp.sum(m * mz, axis=1))
             return (s0, s1, s2, s3, s4, s5)
 
-        z = jnp.float32(0.0)
+        z = jnp.zeros((8, 128), f32)
         sums = jax.lax.fori_loop(
-            jnp.int32(0), jnp.int32(v), accb, ((z, z),) * 6
+            jnp.int32(0), jnp.int32(vp // 8), accb, ((z, z),) * 6
         )
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-        rowv = jnp.zeros((1, 128), f32)
-        for n, (s, c) in enumerate(sums):
-            rowv = jnp.where(lane == jnp.int32(n), s + c, rowv)
-        out_ref[pl.ds(row, 1), :] = rowv
+        # Export the WHOLE (8,128) compensated partial grid per sum
+        # (sum n -> lanes 128n..128n+127) instead of collapsing to one
+        # f32 scalar: the collapse costs ~1 ulp(s) per triple and that
+        # random walk across ~o^3/6 triples (~1.5e-8 at o=14) dominates
+        # the kernel's total error.  Per-slot partials are ~1e-5-scale
+        # (ulp ~1e-12), so the caller-side f64 grid sum is exact at the
+        # contract scale.
+        out_ref[0] = jnp.concatenate([s + c for (s, c) in sums], axis=1)
 
     return kernel
 
@@ -673,10 +697,12 @@ def triples_fused_spatial(
 ):
     """Fully-fused spatial triples over sorted (i<=j<=k) triples.
 
-    Returns the six raw per-kernel sums stacked as a (rows, 128) f32
-    array (lanes 0..5 = s0..s5 per triple row); the caller applies the
-    f64 orbit weights (1, 1/2, 1/6) and sums.  See
-    _fused_spatial_kernel for the math; requires nvirt <= 128."""
+    Returns the six per-triple compensated PARTIAL GRIDS stacked as a
+    (C, 8, 768) f32 array (sum n = [..., 128n:128(n+1)]); the caller
+    f64-sums each grid and applies the f64 orbit weights (1, 1/2, 1/6)
+    — see the kernel's export comment for why the per-triple scalar
+    collapse was the error floor.  See _fused_spatial_kernel for the
+    math; requires nvirt <= 128."""
     o, v = t1.shape
     assert v <= 128, "triples_fused_spatial requires nvirt <= 128"
     vp, mp = 128, -(-o // 8) * 8
@@ -706,13 +732,20 @@ def triples_fused_spatial(
             ((0, 0), (0, 0), (0, pv), (0, po)),
         )
     t1v = jnp.pad(t1.astype(f32), ((0, 0), (0, pv)))
-    t1flat = t1v.reshape(-1)
+    # flattened (1, vp^2) row operands for the in-kernel rank-1 dots
+    # (flattening host-side keeps the kernel free of sublane->lane
+    # relayouts): W pairs for z3, outer(t1,t1)+t2 pairs for y's first
+    # term, plain t2 pairs for its other two
+    Wfl = Wvv.reshape(o, o, 1, vp * vp)
+    t2fl = t2a.reshape(o, o, 1, vp * vp)
+    Yfl = (t1v[:, None, :, None] * t1v[None, :, None, :] + t2a).reshape(
+        o, o, 1, vp * vp
+    )
     evp = jnp.pad(e_v.astype(f32), (0, pv), constant_values=1e3)
     dvv = evp[:, None] + evp[None, :]
     eo_sum = (e_o[ii] + e_o[jj] + e_o[kk]).astype(f32)
 
     C = ii.shape[0]
-    rows = -(-C // 8) * 8
 
     def pair_map(pa, pb):
         return lambda p, ii, jj, kk, *_: (
@@ -725,6 +758,9 @@ def triples_fused_spatial(
     bs4 = lambda im: pl.BlockSpec((1, 1, vp, vp), im, memory_space=pltpu.VMEM)
     bsO = lambda im: pl.BlockSpec((1, 1, vp, mp), im, memory_space=pltpu.VMEM)
     bsM = lambda im: pl.BlockSpec((1, mp, vp * vp), im, memory_space=pltpu.VMEM)
+    bsF = lambda im: pl.BlockSpec(
+        (1, 1, 1, vp * vp), im, memory_space=pltpu.VMEM
+    )
 
     in_specs = []
     inputs = []
@@ -743,8 +779,15 @@ def triples_fused_spatial(
         in_specs.append(bsM(third_map(r)))
         inputs.append(t2M2)
     for (pa, pb) in _WVV_PAIRS:
-        in_specs.append(bs4(pair_map(pa, pb)))
-        inputs.append(Wvv)
+        in_specs.append(bsF(pair_map(pa, pb)))
+        inputs.append(Wfl)
+    # y-cube rank-1 rhs rows: (outer+t2)[j,k], t2[i,k], t2[i,j]
+    in_specs.append(bsF(pair_map(1, 2)))
+    inputs.append(Yfl)
+    in_specs.append(bsF(pair_map(0, 2)))
+    inputs.append(t2fl)
+    in_specs.append(bsF(pair_map(0, 1)))
+    inputs.append(t2fl)
     in_specs.append(
         pl.BlockSpec((o, vp), lambda p, *_: (0, 0), memory_space=pltpu.VMEM)
     )
@@ -753,6 +796,10 @@ def triples_fused_spatial(
         pl.BlockSpec((vp, vp), lambda p, *_: (0, 0), memory_space=pltpu.VMEM)
     )
     inputs.append(dvv)
+    in_specs.append(
+        pl.BlockSpec((vp, 1), lambda p, *_: (0, 0), memory_space=pltpu.VMEM)
+    )
+    inputs.append(evp.reshape(vp, 1))
     in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
     inputs.append(VvF)
     if has_m:
@@ -761,11 +808,12 @@ def triples_fused_spatial(
 
     n_fetch = 6 if has_m else 3
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,  # ii, jj, kk, eo_sum, evp, t1flat
+        num_scalar_prefetch=5,  # ii, jj, kk, eo_sum, evp
         grid=(C,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (8, 128), lambda p, *_: (p // 8, 0), memory_space=pltpu.VMEM
+            (1, 8, 6 * 128), lambda p, *_: (p, 0, 0),
+            memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[pltpu.VMEM((vp, vp, vp), f32)] * 5
         + [pltpu.VMEM((vp, vp * vp), f32)] * n_fetch
@@ -775,14 +823,14 @@ def triples_fused_spatial(
         partials = pl.pallas_call(
             _fused_spatial_kernel(o, v, vp, mp, has_m),
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((rows, 128), f32),
+            out_shape=jax.ShapeDtypeStruct((C, 8, 6 * 128), f32),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=128 * 1024 * 1024,
             ),
             interpret=interpret,
         )(
             ii.astype(jnp.int32), jj.astype(jnp.int32), kk.astype(jnp.int32),
-            eo_sum, evp, t1flat,
+            eo_sum, evp,
             *inputs,
         )
     return partials

@@ -70,10 +70,10 @@ def main():
 
     t0 = time.perf_counter()
     hf = do_rhf(sys_, ints, cfg, rep, FIXTURE)
-    hf_wall = time.perf_counter() - t0
+    hf_wall_first = time.perf_counter() - t0
     t0 = time.perf_counter()
     mp2 = do_mp2_spatial(sys_, ints, cfg, hf, rep, FIXTURE)
-    mp2_wall = time.perf_counter() - t0
+    mp2_wall_first = time.perf_counter() - t0
     t0 = time.perf_counter()
     cc = do_ccsd_spatial(sys_, mp2.eri_mo, cfg, hf, rep, FIXTURE)
     ccsd_wall = time.perf_counter() - t0
@@ -92,6 +92,18 @@ def main():
     t0 = time.perf_counter()
     tr = do_ccsd_t_spatial(sys_, cc, cfg, hf.levels, rep)
     t_wall_warm = time.perf_counter() - t0
+
+    # steady-state HF/MP2: the first-pass walls above absorb the one-time
+    # server-side program loads (measured: prelude load 13.8 s vs 1.3 s
+    # steady HF) plus any warmup-thread contention on this 1-core host —
+    # re-measure with everything resident, matching the Fortran baseline
+    # which has no per-process load at all
+    t0 = time.perf_counter()
+    hf = do_rhf(sys_, ints, cfg, rep, FIXTURE)
+    hf_wall = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    mp2 = do_mp2_spatial(sys_, ints, cfg, hf, rep, FIXTURE)
+    mp2_wall = time.perf_counter() - t0
 
     # sorted-triples fused kernel: timed + gated here so every dimer
     # bench hardware-validates it (default flips once recorded ok)
@@ -131,6 +143,8 @@ def main():
                 "nbasis": sys_.nbasis,
                 "hf_wall": round(hf_wall, 3),
                 "mp2_wall": round(mp2_wall, 3),
+                "hf_wall_first": round(hf_wall_first, 3),
+                "mp2_wall_first": round(mp2_wall_first, 3),
                 "ccsd_wall": round(ccsd_wall, 3),
                 "ccsd_wall_warm": round(ccsd_wall_warm, 3),
                 "t_wall": round(t_wall, 3),
@@ -140,6 +154,9 @@ def main():
                 ),
                 "fused_ok": fused_ok,
                 "total_wall": round(time.perf_counter() - t_all, 3),
+                "total_wall_steady": round(
+                    hf_wall + mp2_wall + ccsd_wall_warm + t_wall_warm, 3
+                ),
                 "ccsd_iters": cc.iterations,
                 "e_hf": round(e_hf_tot, 10),
                 "e_mp2_corr": round(mp2.e_mp2, 10),
