@@ -379,7 +379,12 @@ def cc_energy_restricted(t1, t2, t2_old, v_oovv):
 
 
 # module-level singleton (see ccsd_spinorb.py for why)
-from ..ops.cc_step import init_cc_state, make_cc_solver, make_cc_solver_pre  # noqa: E402
+from ..ops.cc_step import (  # noqa: E402
+    init_cc_state,
+    make_cc_solver,
+    make_cc_solver_pre,
+    pack_solve_summary,
+)
 
 ccsd_spatial_solver = make_cc_solver(ccsd_iteration, cc_energy_restricted)
 ccsd_spatial_solver_hybrid = make_cc_solver(
@@ -485,9 +490,7 @@ def do_ccsd_spatial(
     rep.write("")
     rep.write(" Initialisation done, now entering iterative CC solver...")
 
-    energy = float(e0)
     rep.cc_table_header()
-    rep.cc_row("MP1", energy, energy, float(r0))
 
     state = init_cc_state(t1, t2, cfg.ccsd_diis_n_errmat)
     t_solve = time.perf_counter()
@@ -534,11 +537,32 @@ def do_ccsd_spatial(
             nerr=cfg.ccsd_diis_n_errmat,
             maxiter=cfg.ccsd_maxiter,
         )
-    it = int(n_iter)
-    converged = bool(done)
+    if mesh is None:
+        # ONE transfer for everything the reporting path reads back
+        # (e0/r0/n_iter/done/T1-norms + both histories): each separate
+        # readback is a ~29 ms tunnel round trip
+        vec = np.asarray(
+            pack_solve_summary(
+                hist_e, hist_rms, (e0, r0, n_iter, done),
+                state.t1_raw, state.t1,
+            )
+        )
+        e0_h, r0_h, it, converged = vec[0], vec[1], int(vec[2]), bool(vec[3])
+        t1sq = float(vec[4]) if bool(vec[3]) else float(vec[5])
+        hist_e = vec[6 : 6 + cfg.ccsd_maxiter]
+        hist_rms = vec[6 + cfg.ccsd_maxiter :]
+    else:
+        # mesh outputs are committed across devices; read back directly
+        e0_h, r0_h = float(e0), float(r0)
+        it, converged = int(n_iter), bool(done)
+        t1sq = float(
+            jnp.sum((state.t1_raw if converged else state.t1) ** 2)
+        )
+        hist_e = np.asarray(hist_e)
+        hist_rms = np.asarray(hist_rms)
     wall = time.perf_counter() - t_solve
-    hist_e = np.asarray(hist_e)
-    hist_rms = np.asarray(hist_rms)
+    energy = float(e0_h)
+    rep.cc_row("MP1", energy, energy, float(r0_h))
     per_iter = wall / max(it, 1)
     prev = energy
     for k in range(1, it + 1):
@@ -563,8 +587,9 @@ def do_ccsd_spatial(
 
     t1_diag = 0.0
     if converged:
-        # T1 diagnostic (ccsd.f90:369-376)
-        t1_diag = float(np.sqrt(np.sum(np.asarray(t1) ** 2) / sys_.nel))
+        # T1 diagnostic (ccsd.f90:369-376); the squared norm rode the
+        # packed summary transfer above
+        t1_diag = float(np.sqrt(t1sq / sys_.nel))
         rep.write(f" T1 diagnostic: {t1_diag:8.5f}")
         if t1_diag > 0.02:
             rep.write(

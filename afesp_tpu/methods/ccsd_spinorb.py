@@ -537,7 +537,7 @@ def spinorb_denominators(levels_so, nocc):
 # make_cc_solver per do_ccsd_spinorb call would re-deserialize the
 # (large) executable every time — and the warmup prefetch thread must
 # target the SAME wrapper the production call uses
-from ..ops.cc_step import init_cc_state, make_cc_solver  # noqa: E402
+from ..ops.cc_step import init_cc_state, make_cc_solver, pack_solve_summary  # noqa: E402
 
 ccsd_spinorb_solver = make_cc_solver(ccsd_spinorb_iteration, cc_energy_spinorb)
 ccsd_spinorb_solver_paper = make_cc_solver(
@@ -638,9 +638,7 @@ def do_ccsd_spinorb(
     )
 
     rep.write(" Initialisation done, now entering iterative CC solver...")
-    energy = float(e0)
     rep.cc_table_header()
-    rep.cc_row("MP1", energy, energy, float(r0))
 
     state = init_cc_state(t1, t2, cfg.ccsd_diis_n_errmat)
     t_solve = time.perf_counter()
@@ -669,11 +667,32 @@ def do_ccsd_spinorb(
             nerr=cfg.ccsd_diis_n_errmat,
             maxiter=cfg.ccsd_maxiter,
         )
-    it = int(n_iter)
-    converged = bool(done)
+    err_dev = selfcheck_err if cfg.spinorb_selfcheck else jnp.float64(0.0)
+    if mesh is None:
+        # ONE transfer for everything the reporting path reads back
+        # (e0/r0/n_iter/done/selfcheck + both histories): each separate
+        # readback is a ~29 ms tunnel round trip
+        vec = np.asarray(
+            pack_solve_summary(
+                hist_e, hist_rms, (e0, r0, n_iter, done, err_dev),
+                state.t1_raw, state.t1,
+            )
+        )
+        e0_h, r0_h, it, converged, err = (
+            vec[0], vec[1], int(vec[2]), bool(vec[3]), float(vec[4]),
+        )
+        hist_e = vec[7 : 7 + cfg.ccsd_maxiter]
+        hist_rms = vec[7 + cfg.ccsd_maxiter :]
+    else:
+        # mesh outputs are committed across devices; read back directly
+        e0_h, r0_h = float(e0), float(r0)
+        it, converged, err = int(n_iter), bool(done), float(err_dev)
+        hist_e = np.asarray(hist_e)
+        hist_rms = np.asarray(hist_rms)
     wall = time.perf_counter() - t_solve
+    energy = float(e0_h)
+    rep.cc_row("MP1", energy, energy, float(r0_h))
     if cfg.spinorb_selfcheck:
-        err = float(selfcheck_err)
         # the reference compares against depsilon=1e-12 on exact Fortran
         # copies; our einsum construction carries ~1e-17/element roundoff
         # asymmetry under TPU f64 emulation, so the tolerance scales with
@@ -685,8 +704,6 @@ def do_ccsd_spinorb(
             raise RuntimeError(
                 "Permutational symmetry of antisymmetrised integrals does not hold"
             )
-    hist_e = np.asarray(hist_e)
-    hist_rms = np.asarray(hist_rms)
     per_iter = wall / max(it, 1)
     prev = energy
     for k in range(1, it + 1):

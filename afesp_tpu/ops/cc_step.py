@@ -62,6 +62,22 @@ def init_cc_state(t1, t2, n_errmat: int) -> CCState:
     )
 
 
+@jax.jit
+def pack_solve_summary(hist_e, hist_rms, scalars, t1_final, t1_extrap):
+    """Pack every host-read scalar of a finished whole-solve into ONE f64
+    vector: [scalars..., sum(t1_final^2), sum(t1_extrap^2), hist_e,
+    hist_rms].  Under the remote tunnel each separate readback costs a
+    ~29 ms round trip and each eager op ~10 ms of dispatch latency; the
+    reporting path's ~6 reads (e0, r0, n_iter, done, histories, T1-norm)
+    were a measurable slice of the CCSD stage wall.  Callers slice the
+    returned numpy vector."""
+    head = jnp.stack(
+        [jnp.asarray(x).astype(jnp.float64) for x in scalars]
+        + [jnp.sum(t1_final * t1_final), jnp.sum(t1_extrap * t1_extrap)]
+    )
+    return jnp.concatenate([head, hist_e, hist_rms])
+
+
 def gauss_solve(M, rhs):
     """f64 Gauss-Jordan solve with partial pivoting for the tiny DIIS
     system — TPU XLA implements LuDecomposition only for f32/c64, so
