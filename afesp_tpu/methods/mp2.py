@@ -301,8 +301,13 @@ def do_mp2_spatial(
     else:
         eri_mo = ao_to_mo(ints.eri_on_device(), jnp.asarray(hf.coeff))
     # nothing downstream reads the AO ERI — free the device copy (1.45 GB
-    # at 116 bf) before the CC stages allocate their slices
-    ints.free_device_eri()
+    # at 116 bf) before the CC stages allocate their slices.  Below the
+    # large-basis threshold the dense copy is tiny (90 MB at 58 bf) and
+    # freeing it forces the NEXT pipeline pass in this process to re-ship
+    # it through the ~28 MB/s tunnel (~0.5 s of the measured 0.69 s
+    # steady mp2_wall), so keep it cached where HBM pressure is nil
+    if n >= 100:
+        ints.free_device_eri()
 
     rep.write(" Calculating MP2 energy...")
     e_mp2 = float(mp2_energy(eri_mo, jnp.asarray(hf.levels), nocc=nocc))
