@@ -698,7 +698,7 @@ def do_ccsd_spinorb(
         # asymmetry under TPU f64 emulation, so the tolerance scales with
         # the number of summed elements (still ~9 orders below any real
         # symmetry violation)
-        tol = max(1e-10, 1e-13 * 4 * (v.oooo.size + v.vvvv.size))
+        tol = max(1e-10, 1e-13 * 2 * (v.oooo.size + v.vvvv.size))
         if err > tol:
             rep.write(f" Permutational symmetry error: {err:15.6E}")
             raise RuntimeError(

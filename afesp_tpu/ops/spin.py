@@ -112,19 +112,29 @@ def spin_expand_t2(t2):
 
 def spin_slices_symmetry_error(oooo, oovv, vvvv) -> jnp.ndarray:
     """Jitted production analogue of the reference's runtime self-check
-    (ccsd.f90:150-173): accumulated deviation from
+    (ccsd.f90:150-173): deviation from
     <pq||rs> = -<pq||sr> = <rs||pq> = -<sr||pq> = <sr||qp>, evaluated on
-    the stored oooo/vvvv slices (where all four identities close within
-    one slice) plus both antisymmetries of oovv.  The reference hard-
-    errors above depsilon; callers should do the same.  Sums run over
-    full tensors (~8x the reference's canonical-quadruple count).
+    the stored oooo/vvvv slices (where the identities close within one
+    slice) plus both antisymmetries of oovv.  The reference hard-errors
+    above depsilon; callers should do the same.
 
-    Evaluated in f32: the violations this check exists to catch (wrong
-    spin masks / block assembly) are O(1), and an exactly-symmetric f64
-    tensor stays exactly symmetric under an elementwise cast (transpose
-    commutes with cast), so the f32 evaluation cannot mask a real
-    violation — it just halves the HBM traffic of the transposes of the
-    O(v^4) slice, which is what this check's wall-clock is."""
+    Only the two GENERATORS of the reference's identity set are summed:
+    b = swap-last-pair (sign -) and c = exchange-pairs (sign +).  The
+    other two checked permutations are products (X^(3,2,0,1) = (X^c)^b
+    with sign -, X^(3,2,1,0) = ((X^b)^c)^b with sign +), so exact
+    b/c-symmetry implies them, and any O(1) violation of a product is
+    bounded below by a generator violation (triangle inequality) — the
+    check detects exactly the same failures (wrong spin masks / block
+    assembly) at half the traffic.  Both generators are evaluated in
+    matrix shape — c as a 2-D (n^2, n^2) transpose, b as a batched
+    (n^2, n, n) trailing-plane transpose — instead of 4-D lane-crossing
+    permutes, which is what made the literal four-term form ~170-245 ms
+    on the pVTZ v^4 slice (measured r3); this form is ~6x cheaper.
+
+    Evaluated in f32: the violations this check exists to catch are
+    O(1), and an exactly-symmetric f64 tensor stays exactly symmetric
+    under an elementwise cast (transpose commutes with cast), so the
+    f32 evaluation cannot mask a real violation."""
     import jax
 
     @jax.jit
@@ -132,18 +142,21 @@ def spin_slices_symmetry_error(oooo, oovv, vvvv) -> jnp.ndarray:
         oooo = oooo.astype(jnp.float32)
         oovv = oovv.astype(jnp.float32)
         vvvv = vvvv.astype(jnp.float32)
-        def four(X):
-            return (
-                jnp.sum(jnp.abs(X + jnp.transpose(X, (0, 1, 3, 2))))
-                + jnp.sum(jnp.abs(X - jnp.transpose(X, (2, 3, 0, 1))))
-                + jnp.sum(jnp.abs(X + jnp.transpose(X, (3, 2, 0, 1))))
-                + jnp.sum(jnp.abs(X - jnp.transpose(X, (3, 2, 1, 0))))
-            )
+
+        def gen2(X):
+            n = X.shape[0]
+            m = X.reshape(n * n, n * n)
+            pair = jnp.sum(jnp.abs(m - m.T))  # c: <pq||rs> = <rs||pq>
+            b = X.reshape(n * n, n, n)
+            last = jnp.sum(
+                jnp.abs(b + jnp.transpose(b, (0, 2, 1)))
+            )  # b: <pq||rs> = -<pq||sr>
+            return pair + last
 
         anti = jnp.sum(jnp.abs(oovv + jnp.transpose(oovv, (0, 1, 3, 2)))) + jnp.sum(
             jnp.abs(oovv + jnp.transpose(oovv, (1, 0, 2, 3)))
         )
-        return four(oooo) + four(vvvv) + anti
+        return gen2(oooo) + gen2(vvvv) + anti
 
     return _err(oooo, oovv, vvvv)
 
