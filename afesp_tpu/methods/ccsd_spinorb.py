@@ -563,18 +563,30 @@ def get_spinorb_solver(paper_foo: bool = False, vvvv_split: bool = False):
     }[(paper_foo, vvvv_split)]
 
 
-@partial(jax.jit, static_argnames=("nocc_spatial",))
-def spinorb_cc_init(eri_mo, levels, *, nocc_spatial: int):
+@partial(jax.jit, static_argnames=("nocc_spatial", "selfcheck"))
+def spinorb_cc_init(eri_mo, levels, *, nocc_spatial: int, selfcheck: bool = True):
     """Slices + denominators + MP1 guess + initial energy as ONE compiled
     program (the eager op-by-op version costs seconds of per-op dispatch
-    latency/compiles under a remote-tunnel TPU)."""
+    latency/compiles under a remote-tunnel TPU).
+
+    The permutational-symmetry self-check (ccsd.f90:150-173) is computed
+    HERE, fused into the same program, rather than as a separate
+    dispatch: the check's transposes then read slices XLA just wrote
+    (no second program load, no extra dispatch latency), and the scalar
+    rides back with the packed solve summary."""
     v = make_spin_slices(eri_mo, nocc_spatial=nocc_spatial)
     lv = spinorb_levels(levels, nocc_spatial)
     D_ia, D_ijab = spinorb_denominators(lv, 2 * nocc_spatial)
     t1 = jnp.zeros_like(D_ia)
     t2 = v.oovv / D_ijab  # MP1 guess (ccsd.f90:523)
     e0, r0 = cc_energy_spinorb(t1, t2, jnp.zeros_like(t2), v.oovv)
-    return v, D_ia, D_ijab, t1, t2, e0, r0
+    if selfcheck:
+        from ..ops.spin import spin_symmetry_error_traceable
+
+        err = spin_symmetry_error_traceable(v.oooo, v.oovv, v.vvvv)
+    else:
+        err = jnp.float64(0.0)
+    return v, D_ia, D_ijab, t1, t2, e0, r0, err
 
 
 def do_ccsd_spinorb(
@@ -597,25 +609,21 @@ def do_ccsd_spinorb(
     rep.write(" Forming antisymmetrised spinorbital ERIs...")
 
     nocc, nvirt = sys_.nocc, sys_.nvirt  # spin-orbital counts
-    v, D_ia, D_ijab, t1, t2, e0, r0 = spinorb_cc_init(
-        eri_mo, jnp.asarray(hf.levels), nocc_spatial=sys_.nel // 2
+    # the self-check (ccsd.f90:150-173) is fused into the init program;
+    # its scalar is read back after the solve is queued, with the packed
+    # summary.  On failure the error still surfaces before any result is
+    # returned (the reference aborts before iterating; we abort after —
+    # same user-visible contract, error block included).
+    v, D_ia, D_ijab, t1, t2, e0, r0, selfcheck_err = spinorb_cc_init(
+        eri_mo, jnp.asarray(hf.levels), nocc_spatial=sys_.nel // 2,
+        selfcheck=cfg.spinorb_selfcheck,
     )
     if cfg.spinorb_selfcheck:
-        # runtime self-check, always on upstream (ccsd.f90:150-173);
         # the reference's typo is part of the output format
         rep.write(
             " Checking that the permuational symmetry of the antisymmetrised"
             " integrals hold..."
         )
-        from ..ops.spin import spin_slices_symmetry_error
-
-        # dispatched now, read back after the solve is queued: the
-        # device serializes the work either way, but blocking here would
-        # add a tunnel round-trip before the solver can even dispatch.
-        # On failure the error still surfaces before any result is
-        # returned (the reference aborts before iterating; we abort
-        # after — same user-visible contract, error block included).
-        selfcheck_err = spin_slices_symmetry_error(v.oooo, v.oovv, v.vvvv)
     rep.write(f" Time taken: {time.perf_counter() - t0_stage:8.6f} s")
     rep.write("")
     rep.write(" Forming slices of antisymmetrised spinorbital ERIs")
@@ -667,7 +675,7 @@ def do_ccsd_spinorb(
             nerr=cfg.ccsd_diis_n_errmat,
             maxiter=cfg.ccsd_maxiter,
         )
-    err_dev = selfcheck_err if cfg.spinorb_selfcheck else jnp.float64(0.0)
+    err_dev = selfcheck_err
     if mesh is None:
         # ONE transfer for everything the reporting path reads back
         # (e0/r0/n_iter/done/selfcheck + both histories): each separate

@@ -110,9 +110,9 @@ def spin_expand_t2(t2):
     return out
 
 
-def spin_slices_symmetry_error(oooo, oovv, vvvv) -> jnp.ndarray:
-    """Jitted production analogue of the reference's runtime self-check
-    (ccsd.f90:150-173): deviation from
+def spin_symmetry_error_traceable(oooo, oovv, vvvv) -> jnp.ndarray:
+    """Traceable core of the runtime self-check (ccsd.f90:150-173):
+    deviation from
     <pq||rs> = -<pq||sr> = <rs||pq> = -<sr||pq> = <sr||qp>, evaluated on
     the stored oooo/vvvv slices (where the identities close within one
     slice) plus both antisymmetries of oovv.  The reference hard-errors
@@ -125,40 +125,46 @@ def spin_slices_symmetry_error(oooo, oovv, vvvv) -> jnp.ndarray:
     b/c-symmetry implies them, and any O(1) violation of a product is
     bounded below by a generator violation (triangle inequality) — the
     check detects exactly the same failures (wrong spin masks / block
-    assembly) at half the traffic.  Both generators are evaluated in
-    matrix shape — c as a 2-D (n^2, n^2) transpose, b as a batched
-    (n^2, n, n) trailing-plane transpose — instead of 4-D lane-crossing
-    permutes, which is what made the literal four-term form ~170-245 ms
-    on the pVTZ v^4 slice (measured r3); this form is ~6x cheaper.
+    assembly) at half the traffic.  Both generators are plain 4-D
+    transposes: XLA lowers those to its tiled transpose path, whereas
+    the "clever" (n^2, n^2) matrix reshape forces a full re-tile for
+    lane-unaligned n and measured 750-900 ms on the pVTZ v^4 slice
+    (vs ~170-245 ms for the literal four-term permute form — measured
+    r3, both on hardware).
 
     Evaluated in f32: the violations this check exists to catch are
     O(1), and an exactly-symmetric f64 tensor stays exactly symmetric
     under an elementwise cast (transpose commutes with cast), so the
-    f32 evaluation cannot mask a real violation."""
+    f32 evaluation cannot mask a real violation.  This function is
+    meant to be traced INTO a larger program (spinorb_cc_init) so the
+    slices it reads are already HBM-resident and no extra dispatch or
+    readback round-trip is paid."""
+    oooo = oooo.astype(jnp.float32)
+    oovv = oovv.astype(jnp.float32)
+    vvvv = vvvv.astype(jnp.float32)
+
+    def gen2(X):
+        b = jnp.sum(
+            jnp.abs(X + jnp.transpose(X, (0, 1, 3, 2)))
+        )  # b: <pq||rs> = -<pq||sr>
+        c = jnp.sum(
+            jnp.abs(X - jnp.transpose(X, (2, 3, 0, 1)))
+        )  # c: <pq||rs> = <rs||pq>
+        return b + c
+
+    anti = jnp.sum(jnp.abs(oovv + jnp.transpose(oovv, (0, 1, 3, 2)))) + jnp.sum(
+        jnp.abs(oovv + jnp.transpose(oovv, (1, 0, 2, 3)))
+    )
+    return (gen2(oooo) + gen2(vvvv) + anti).astype(jnp.float64)
+
+
+def spin_slices_symmetry_error(oooo, oovv, vvvv) -> jnp.ndarray:
+    """Standalone jitted wrapper of spin_symmetry_error_traceable (the
+    production pipeline gets the check fused into spinorb_cc_init; this
+    entry point serves tests and ad-hoc validation)."""
     import jax
 
-    @jax.jit
-    def _err(oooo, oovv, vvvv):
-        oooo = oooo.astype(jnp.float32)
-        oovv = oovv.astype(jnp.float32)
-        vvvv = vvvv.astype(jnp.float32)
-
-        def gen2(X):
-            n = X.shape[0]
-            m = X.reshape(n * n, n * n)
-            pair = jnp.sum(jnp.abs(m - m.T))  # c: <pq||rs> = <rs||pq>
-            b = X.reshape(n * n, n, n)
-            last = jnp.sum(
-                jnp.abs(b + jnp.transpose(b, (0, 2, 1)))
-            )  # b: <pq||rs> = -<pq||sr>
-            return pair + last
-
-        anti = jnp.sum(jnp.abs(oovv + jnp.transpose(oovv, (0, 1, 3, 2)))) + jnp.sum(
-            jnp.abs(oovv + jnp.transpose(oovv, (1, 0, 2, 3)))
-        )
-        return gen2(oooo) + gen2(vvvv) + anti
-
-    return _err(oooo, oovv, vvvv)
+    return jax.jit(spin_symmetry_error_traceable)(oooo, oovv, vvvv)
 
 
 def permutational_symmetry_error(asym: jnp.ndarray) -> float:

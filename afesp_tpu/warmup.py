@@ -107,6 +107,7 @@ def _prefetch_spinorb(
     triples: bool,
     equations: str,
     precision: str,
+    selfcheck: bool = True,
 ):
     import jax
     import jax.numpy as jnp
@@ -136,11 +137,13 @@ def _prefetch_spinorb(
     # server-side program loads forward, off the critical path.
     if nbasis > _AOT_NBASIS and not _cache_warm():
         eri_s, lv_s = _sds((nbasis,) * 4), _sds((nbasis,))
-        init_fn = partial(spinorb_cc_init, nocc_spatial=no_sp)
-        v_s, D_ia_s, D_ijab_s, t1_s, t2_s, e0_s, _ = jax.eval_shape(
+        init_fn = partial(spinorb_cc_init, nocc_spatial=no_sp, selfcheck=selfcheck)
+        v_s, D_ia_s, D_ijab_s, t1_s, t2_s, e0_s, _, _ = jax.eval_shape(
             init_fn, eri_s, lv_s
         )
-        spinorb_cc_init.lower(eri_s, lv_s, nocc_spatial=no_sp).compile()
+        spinorb_cc_init.lower(
+            eri_s, lv_s, nocc_spatial=no_sp, selfcheck=selfcheck
+        ).compile()
         state_s = jax.eval_shape(partial(init_cc_state, n_errmat=nerr), t1_s, t2_s)
         sc = _sds(())
         solver.lower(
@@ -163,8 +166,8 @@ def _prefetch_spinorb(
 
     eri = jnp.zeros((nbasis,) * 4)
     levels = jnp.asarray(_dummy_levels(nbasis, no_sp))
-    v, D_ia, D_ijab, t1, t2, e0, _ = spinorb_cc_init(
-        eri, levels, nocc_spatial=no_sp
+    v, D_ia, D_ijab, t1, t2, e0, _, _ = spinorb_cc_init(
+        eri, levels, nocc_spatial=no_sp, selfcheck=selfcheck
     )
     state = init_cc_state(t1, t2, nerr)
 
@@ -428,6 +431,7 @@ def start(sys_, cfg) -> None:
                     cfg.wants_triples,
                     cfg.ccsd_spinorb_equations,
                     cfg.ccsd_precision,
+                    selfcheck=cfg.spinorb_selfcheck,
                 )
         except Exception:  # best-effort: a failed prefetch only loses time
             pass

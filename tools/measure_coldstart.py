@@ -52,7 +52,7 @@ def main():
 
     eri = jnp.zeros((nbasis,) * 4)
     levels = jnp.asarray(_dummy_levels(nbasis, no_sp))
-    v, D_ia, D_ijab, t1, t2, e0, _ = spinorb_cc_init(eri, levels, nocc_spatial=no_sp)
+    v, D_ia, D_ijab, t1, t2, e0, _, _ = spinorb_cc_init(eri, levels, nocc_spatial=no_sp)
     state = init_cc_state(t1, t2, nerr)
     inf = jnp.float64(np.inf)
 
