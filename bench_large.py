@@ -22,7 +22,7 @@ FIXTURE = REPO / "data" / "h2o-dimer-cc-pvtz"
 
 
 def main():
-    if not (FIXTURE / "eri.dat").exists():
+    if not ((FIXTURE / "eri.dat").exists() or (FIXTURE / "eri.npy").exists()):
         print(
             json.dumps(
                 {

@@ -61,8 +61,21 @@ scf_write_guess = .false.,
 
 
 def main():
+    # default: binary eri.npy (the packed native fixture format — minutes
+    # faster to generate/parse than the 481 MB text table, and nothing at
+    # 116 bf interoperates with els.x anyway); pass --dat for the text
+    # quadruple file.
+    as_dat = "--dat" in sys.argv[1:]
     t0 = time.perf_counter()
-    basis = write_dat_files(OUT, CHARGES, COORDS, "cc-pvtz", verbose=True)
+    basis = write_dat_files(
+        OUT, CHARGES, COORDS, "cc-pvtz", verbose=True, write_eri=as_dat
+    )
+    if not as_dat:
+        from afesp_tpu.integrals.engine import eri_tensor
+        from afesp_tpu.ops.packed_eri import pack_eri
+
+        eri = eri_tensor(basis, verbose=True)
+        np.save(OUT / "eri.npy", pack_eri(eri))
     (OUT / "els.in").write_text(ELS_IN)
     print(f"wrote {OUT} ({basis.nbf} bf) in {time.perf_counter() - t0:.0f}s")
 
