@@ -56,6 +56,12 @@ def _enable_compile_cache() -> None:
         Path(cache).mkdir(parents=True, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # warn (once, loudly) when the shipped cache was built for a
+        # different jaxlib/topology — a silent mismatch recompiles for
+        # minutes while the README promises seconds
+        from . import cachemeta
+
+        cachemeta.check(cache)
     except Exception:
         pass  # best effort — an unwritable cache dir must not kill the run
 

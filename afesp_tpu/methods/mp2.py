@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import warmup
 from ..config import Config
 from ..io import dat
 from ..io.fcidump import write_fcidump
@@ -283,6 +284,9 @@ def do_mp2_spatial(
         rep.write(" Calculating MP2 energy...")
         lv = jnp.asarray(hf.levels)
         e_mp2 = float(mp2_energy_from_oovv(slices.v_oovv, lv[:nocc], lv[nocc:]))
+        # the float() above synced the last pre-CC device program — the
+        # warmup loader threads may now use the device queue
+        warmup.clear_for_cc()
         rep.write(f" MP2 correlation energy (Hartree): {e_mp2:15.8f}")
         if cfg.write_fcidump:
             rep.write(" FCIDUMP skipped: no dense MO tensor on the streaming tier.")
@@ -311,6 +315,9 @@ def do_mp2_spatial(
 
     rep.write(" Calculating MP2 energy...")
     e_mp2 = float(mp2_energy(eri_mo, jnp.asarray(hf.levels), nocc=nocc))
+    # the float() above synced the last pre-CC device program — open the
+    # warmup foreground gate (loader threads may now issue their loads)
+    warmup.clear_for_cc()
 
     rep.write(f" MP2 correlation energy (Hartree): {e_mp2:15.8f}")
 

@@ -39,6 +39,31 @@ _THREADS: dict[str, threading.Thread] = {}
 # above this, prefetch compiles from abstract shapes (no HBM footprint)
 _AOT_NBASIS = 80
 
+# Foreground-priority gate (round-3 finding: the dummy first executions
+# run on the same device queue as the timed pipeline stages, so on a
+# decayed server the FIRST foreground MP2 execution queued behind the
+# warmup threads' in-flight program loads — BENCH_r03 mp2_wall_first
+# 209.6 s).  The loader threads now wait here before issuing any device
+# work; the gate opens when the pre-CC foreground stages (HF + MP2) have
+# completed their first device executions (do_mp2_spatial calls
+# clear_for_cc()), or unconditionally when the CC driver joins.
+_FG_GATE = threading.Event()
+
+
+def clear_for_cc() -> None:
+    """Open the foreground gate: the pre-CC pipeline stages are done with
+    their first device executions, so the warmup loader threads may issue
+    their dummy executions (triggering the server-side program loads)
+    without risking queueing foreground work behind them."""
+    _FG_GATE.set()
+
+
+def _wait_foreground(timeout: float = 900.0) -> None:
+    """Block a loader thread until the foreground gate opens.  Bounded so
+    an unusual flow that never calls clear_for_cc() (direct CC invocation
+    without MP2) degrades to the old behaviour instead of hanging."""
+    _FG_GATE.wait(timeout)
+
 
 def _cache_warm() -> bool:
     """True when the persistent XLA compile cache directory holds entries
@@ -164,6 +189,10 @@ def _prefetch_spinorb(
                 ).compile()
         return
 
+    # device work starts here (the dummy init executes on the chip and
+    # triggers its own server-side program load) — yield to the
+    # foreground HF/MP2 first executions before touching the queue
+    _wait_foreground()
     eri = jnp.zeros((nbasis,) * 4)
     levels = jnp.asarray(_dummy_levels(nbasis, no_sp))
     v, D_ia, D_ijab, t1, t2, e0, _, _ = spinorb_cc_init(
@@ -210,7 +239,10 @@ def _prefetch_spinorb(
     # solve alone, load-dependent).  Concurrent first executions DO
     # overlap — tools/measure_coldstart.py / probe: serial 460 s + 54 s
     # = 514 s vs 121 s wall for the same two loads issued together — so
-    # each program gets its own loader thread.
+    # each program gets its own loader thread.  Wait for the foreground
+    # HF/MP2 first executions first: their programs must never queue
+    # behind these loads (BENCH_r03 mp2_wall_first 209.6 s).
+    _wait_foreground()
     _run_concurrently([_exec_solve] + ([_exec_triples] if triples else []))
 
 
@@ -310,6 +342,9 @@ def _prefetch_spatial(
             _prefetch_spatial_triples()
         return
 
+    # same foreground-priority yield as _prefetch_spinorb: no device work
+    # before the pre-CC stages' first executions have cleared the queue
+    _wait_foreground()
     eri = jnp.zeros((nbasis,) * 4)
     levels = jnp.asarray(_dummy_levels(nbasis, nocc))
     v, D_ia, D_ijab, t1, t2, e0, _ = spatial_cc_init(eri, levels, nocc=nocc)
@@ -443,7 +478,11 @@ def start(sys_, cfg) -> None:
 
 def join() -> None:
     """Wait for any in-flight prefetch (called by the CC drivers before
-    their first jitted call, so the two never compile concurrently)."""
+    their first jitted call, so the two never compile concurrently).
+    Opens the foreground gate first — once the CC stage itself is asking
+    for the executables there is no foreground work left to protect, and
+    a loader thread still waiting on the gate must not deadlock us."""
+    _FG_GATE.set()
     t = _THREADS.pop("cc", None)
     if t is not None:
         t.join()

@@ -50,6 +50,9 @@ def bench_real(workdir: Path):
     cache_dir.mkdir(exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", str(cache_dir))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from afesp_tpu import cachemeta
+
+    cachemeta.check(cache_dir)
 
     from afesp_tpu import warmup
     from afesp_tpu.config import read_els_in

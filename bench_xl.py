@@ -45,6 +45,9 @@ def main():
     cache_dir.mkdir(exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", str(cache_dir))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from afesp_tpu import cachemeta
+
+    cachemeta.check(cache_dir)
 
     from afesp_tpu.config import read_els_in
     from afesp_tpu.io import dat

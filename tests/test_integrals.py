@@ -58,7 +58,11 @@ def test_eri_vs_committed_h2o(sample_data):
 # ---------------------------------------------------------------------------
 
 from afesp_tpu.integrals.engine import Shell, _shell_pair_1e, eri_shell_quartet
-from tests import oracle_integrals as oi
+
+try:  # repo root on sys.path (python -m pytest)
+    from tests import oracle_integrals as oi
+except ImportError:  # bare pytest rootdir import modes: tests/ itself is on sys.path
+    import oracle_integrals as oi
 
 
 def _toy_shells():

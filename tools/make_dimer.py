@@ -2,10 +2,12 @@
 native McMurchie-Davidson engine — the >=100-bf scaling workload.
 
 Geometry: the Smith/Swanton-style near-equilibrium water dimer (donor +
-acceptor, O-O ~ 2.97 A), coordinates in bohr.  Writes the four .dat
-integral files + geom.dat + an els.in (CRCCSD(T)_spatial) into
-data/h2o-dimer-cc-pvtz/ so the large benchmark (bench_large.py) and the
-driver can run it like any reference fixture.
+acceptor, O-O ~ 2.97 A), coordinates in bohr.  Writes s/t/v.dat, the ERI
+as binary packed eri.npy (5x smaller, 40x faster to read than text —
+pass --dat for a reference-format eri.dat instead), geom.dat and an
+els.in (CRCCSD(T)_spatial) into data/h2o-dimer-cc-pvtz/ so the large
+benchmark (bench_large.py) and the driver can run it like any reference
+fixture.
 """
 
 import sys
