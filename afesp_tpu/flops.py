@@ -127,3 +127,37 @@ def spinorb_triples_flops(o: int, v: int, strict: bool = False) -> float:
 
 def ao_to_mo_flops(n: int) -> float:
     return 2.0 * 4 * n**5
+
+
+def spatial_ccsd_iteration_flops(o: int, v: int, pairs: int = 21) -> float:
+    """One spatial (Piecuch) CCSD iteration as EXECUTED on the large-tier
+    digit-GEMM path, dominant contractions only (a lower bound on issued
+    MXU work — small o^2v^2-scale terms and elementwise tails are
+    dropped).  `pairs` is the digit-pair GEMM count per contraction:
+    the external-slices solve runs exact_gemm at L=6/maxdeg=7 = 21 bf16
+    pair GEMMs per matmul (ops/exact_gemm.py), each a real MXU pass —
+    utilization vs MEASURED_BF16 is the honest dashboard number."""
+    mac = 1.0 * o * o * v**4         # c_oovv x v_vvvv (ccsd.f90:1669)
+    mac += 6.0 * o**3 * v**3         # I_ovov/I_voov/x_voov family
+    mac += 2.0 * o**2 * v**3         # I_vv / vovv' contractions
+    mac += 2.0 * o**4 * v * v        # I_oooo + its T2 consumer
+    return 2.0 * mac * pairs
+
+
+def spatial_triples_flops(
+    o: int, v: int, doing_CR: bool = True, strict: bool = False
+) -> float:
+    """Spatial triples family: twelve t3_D GEMMs per (i,j,k) panel (six
+    K=v f-sums + six K=o m-sums, ccsd.f90:2168-2173), doubled when the
+    CR moment M3 is built (2186-2194), plus the z3/y/xbar/denominator
+    elementwise finale.  strict=True counts the sorted-triples grid
+    (i<=j<=k, ~o^3/6 panels) the fused kernel executes; False counts
+    the full cube — the reference loop nest's algorithmic cost.  These
+    panels run f32 on the large tiers, so utilization reports against
+    MEASURED_F32."""
+    ntrip = o * (o + 1) * (o + 2) // 6 if strict else o**3
+    gemm_mac = ntrip * (6.0 * v**4 + 6.0 * o * v**3)
+    if doing_CR:
+        gemm_mac *= 2.0
+    elementwise = 20.0 * ntrip * v**3
+    return 2.0 * gemm_mac + elementwise

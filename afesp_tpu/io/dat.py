@@ -60,25 +60,23 @@ class IntStore:
 
         Behind the remote axon tunnel (~28 MB/s up) the dense 116-bf f64
         ERI costs ~52 s to ship, so for non-trivial sizes only the 8-fold
-        packed unique elements travel (8x smaller) and the scatter to the
-        dense tensor runs on device (ops/packed_eri.unpack_eri).  HF's
-        Fock build and the MP2 transform share the one cached copy."""
+        packed unique elements travel (8x smaller, routed through
+        packed_on_device so the upload itself is ALSO cached — a repeat
+        HF/MP2 pass in the same process re-unpacks on device instead of
+        re-shipping 184 MB) and the scatter to the dense tensor runs on
+        device (ops/packed_eri.unpack_eri).  HF's Fock build and the MP2
+        transform share the one cached copy."""
         if self._eri_dev is None:
             import jax.numpy as jnp
 
             from ..methods.hf import device_is_remote_tunnel
-            from ..ops.packed_eri import pack_eri, unpack_eri
+            from ..ops.packed_eri import unpack_eri
 
             n = self.nbasis if self.eri is None else self.eri.shape[0]
             if self.eri is None or (
                 device_is_remote_tunnel() and n**4 > 2e6 and n <= 300
             ):
-                packed = (
-                    self.eri_packed
-                    if self.eri_packed is not None
-                    else pack_eri(self.eri)
-                )
-                self._eri_dev = unpack_eri(jnp.asarray(packed), n=n)
+                self._eri_dev = unpack_eri(self.packed_on_device(), n=n)
             else:
                 self._eri_dev = jnp.asarray(self.eri)
         return self._eri_dev
@@ -86,10 +84,12 @@ class IntStore:
     def free_device_eri(self) -> None:
         """Drop the cached device AO ERI (after the MP2 transform nothing
         downstream reads it; at 116 bf this frees 1.45 GB of HBM for the
-        CC stages)."""
+        CC stages).  The PACKED upload stays cached (184 MB at 116 bf) —
+        a repeat pass pays a device-side unpack, never the tunnel."""
         self._eri_dev = None
 
     _packed_dev: object = None  # cached device PACKED store (stream tier)
+    _upload_thread: object = None  # in-flight async packed upload
 
     def packed_on_device(self):
         """The 8-fold tri-packed store as a device array (NO unpack): the
@@ -97,6 +97,10 @@ class IntStore:
         the dense (n,n,n,n) f64 tensor (7.3 GB at 174 bf) no longer fits
         next to the MO slices.  HF's gather-digitized Fock consts and the
         sliced MO transform (methods/mo_slices.py) both read it."""
+        t = self._upload_thread
+        if t is not None:
+            t.join()
+            self._upload_thread = None
         if self._packed_dev is None:
             import jax.numpy as jnp
 
@@ -108,7 +112,48 @@ class IntStore:
             self._packed_dev = jnp.asarray(packed)
         return self._packed_dev
 
+    def start_upload_async(self) -> None:
+        """Begin shipping the packed ERI to the device in a daemon thread.
+
+        Called right after the integral read on the large-basis tunnel
+        tiers: the ~28 MB/s packed transfer (6.6 s at 116 bf, 26 s at
+        174 bf) is the single largest first-pass HF cost, and it has no
+        dependencies — overlapping it with the host-side setup work
+        (orthogonaliser, warmup lowering, reporting) removes it from the
+        critical path.  packed_on_device() joins the thread, so every
+        consumer sees the one cached copy; a transfer failure surfaces
+        there via the normal synchronous path (the thread only warms the
+        cache, best-effort)."""
+        if self._packed_dev is not None or self._upload_thread is not None:
+            return
+        import threading
+
+        def ship():
+            import jax.numpy as jnp
+
+            from ..ops.packed_eri import pack_eri
+
+            try:
+                packed = (
+                    self.eri_packed
+                    if self.eri_packed is not None
+                    else pack_eri(self.eri)
+                )
+                dev = jnp.asarray(packed)
+                dev.block_until_ready()
+                self._packed_dev = dev
+            except Exception:
+                pass  # synchronous path retries and reports
+
+        t = threading.Thread(target=ship, name="afesp-eri-upload", daemon=True)
+        self._upload_thread = t
+        t.start()
+
     def free_device_packed(self) -> None:
+        t = self._upload_thread
+        if t is not None:
+            t.join()
+            self._upload_thread = None
         self._packed_dev = None
 
 
@@ -418,6 +463,12 @@ def read_integrals(
                 else:
                     ints.eri = read_eri_dense(d / "eri.dat", n, tab=tab)
         ints.eri_packed = packed
+        if large_tpu:
+            # the packed upload (6.6 s at 116 bf, ~33 s at 174 bf through
+            # the ~28 MB/s tunnel) has no dependencies — start it now so
+            # it overlaps the geometry read, reporting, warmup lowering
+            # and HF's host-side setup instead of stalling the first Fock
+            ints.start_upload_async()
 
     sys_.natoms, sys_.charges, sys_.coords = read_geometry(d / "geom.dat")
     sys_.nel = int(sys_.charges.sum())

@@ -65,6 +65,11 @@ class CCSDResult:
     # ("stale" relative to the converged t1/t2 — reproduced deliberately).
     t1_prev: np.ndarray | None = None
     t2_prev: np.ndarray | None = None
+    # Streaming tier only: the CR chain's single v_vvvv contraction
+    # (es("ecba,ie->ciab", v_vvvv, t1); ccsd.f90:2513), precomputed from
+    # the digit limbs at solve-return time while they are still resident
+    # — the full v_vvvv (f64 OR f32) then never exists at this tier.
+    cr_vvvv_term: jnp.ndarray | None = None
 
 
 def make_slices(eri_mo: jnp.ndarray, nocc: int) -> Slices:
@@ -401,6 +406,33 @@ def get_spatial_solver(vvvv_split: bool = False):
     return ccsd_spatial_solver_hybrid if vvvv_split else ccsd_spatial_solver
 
 
+@partial(jax.jit, static_argnames=("nv",))
+def _cr_vvvv_term_from_B(t1, vvvv_B, *, nv: int):
+    """es("ecba,ie->ciab", v_vvvv, t1) straight from the digit limbs.
+
+    vvvv_B stores v_vvvv as prechunk_B_chunkscaled limbs of the
+    (rows=(axis0,axis1), cols=(axis2,axis3)) matricisation — i.e. rows
+    flatten (e,c), columns (b,a) for this term's index roles.  The
+    contraction over e alone doesn't fit that layout, so it is recast as
+    one (o*v, v^2) x (v^2, v^2) digit GEMM with the Kronecker lhs
+    A[(i,c),(e,c')] = t1[i,e] * delta_{cc'}: out[(i,c),(b,a)] then equals
+    the wanted sum exactly.  ~10 bf16 digit GEMMs (maxdeg=6, accuracy
+    ~2^-35 of scale — tighter than the f32 einsum this replaces); under a
+    mesh the limbs' chunk axis is sharded and GSPMD partitions the pair
+    GEMMs, psum-ing the cross-chunk combine (see
+    parallel/ccsd_shard.ccsd_solve_sharded_ext — same mechanism).
+    Returns (c,i,a,b) f64."""
+    from ..ops.exact_gemm import exact_gemm
+
+    o = t1.shape[0]
+    eye = jnp.eye(nv, dtype=jnp.float32)
+    A = (
+        t1.astype(jnp.float32)[:, None, :, None] * eye[None, :, None, :]
+    ).reshape(o * nv, nv * nv)
+    out = exact_gemm(A=A, B_pre=vvvv_B, maxdeg=6)
+    return out.reshape(o, nv, nv, nv).transpose(1, 0, 3, 2)
+
+
 @partial(jax.jit, static_argnames=("nocc",))
 def spatial_cc_init(eri_mo, levels, *, nocc: int):
     """Slices + denominators + MP1 guess + initial energy as ONE compiled
@@ -597,17 +629,17 @@ def do_ccsd_spatial(
                 " CCSD result might be unreliable!"
             )
 
-    if external:
-        # downstream (CR intermediates, ccsd.f90:2513's one v_vvvv
-        # contraction) runs f32 under hybrid precision anyway:
-        # reconstruct the f32 copy from the limbs, never the f64
-        from ..ops.exact_gemm import reconstruct_f32_from_B_pre
-
-        nv2 = nvirt * nvirt
-        vvvv_f32 = jax.jit(
-            reconstruct_f32_from_B_pre, static_argnums=(1, 2)
-        )(vvvv_B, nv2, nv2).reshape((nvirt,) * 4)
-        v = v._replace(v_vvvv=vvvv_f32)
+    cr_term = None
+    if external and cfg.ccsd_t_comp_renorm:
+        # The only downstream consumer of v_vvvv is the CR chain's single
+        # contraction es("ecba,ie->ciab", v_vvvv, t1) (ccsd.f90:2513).
+        # Compute it NOW, straight from the digit limbs (still resident
+        # from the solve): the r3 approach reconstructed a full f32
+        # v_vvvv (3.9 GB padded at 174 bf) per device; the (c,i,a,b)
+        # result is o*v^3 f64 — 16x smaller — and under a mesh the limbs'
+        # chunk axis is sharded, so GSPMD partitions the digit GEMMs and
+        # psums the cross-chunk reduction (per-device limb bytes 1/n_dev).
+        cr_term = _cr_vvvv_term_from_B(t1, vvvv_B, nv=nvirt)
 
     # amplitudes stay on device (see ccsd_spinorb.py — the tunnel's
     # device->host readback is ~30 MB/s)
@@ -621,4 +653,5 @@ def do_ccsd_spatial(
         slices=v,
         t1_prev=t1_prev,
         t2_prev=t2_prev,
+        cr_vvvv_term=cr_term,
     )

@@ -76,7 +76,8 @@ def _xbar(x: jnp.ndarray) -> jnp.ndarray:
 
 @partial(jax.jit, static_argnames=("nocc", "precision"))
 def cr_intermediates(
-    t1, t2, t1_prev, t2_prev, v: Slices, nocc: int, precision: str = "f64"
+    t1, t2, t1_prev, t2_prev, v: Slices, nocc: int, precision: str = "f64",
+    vvvv_term=None,
 ):
     """I_vovv'' and I_ooov'' (build_cr_ccsd_t_intermediates,
     ccsd.f90:2338-2551), with stale I_vo/asym_t2 from (t1_prev, t2_prev).
@@ -86,12 +87,22 @@ def cr_intermediates(
     of seconds at >=100 bf through limb-array decompositions).  The I''
     tensors feed the m3 GEMMs, which run f32 in hybrid mode anyway; the
     end-to-end effect on all six variant energies is <1e-8 on the N2
-    golden (tests/test_triples_spatial.py)."""
+    golden (tests/test_triples_spatial.py).
+
+    vvvv_term: the single v_vvvv contraction es("ecba,ie->ciab", v_vvvv,
+    t1) (ccsd.f90:2513), precomputed on the streaming tier straight from
+    the digit limbs (ccsd_spatial._cr_vvvv_term_from_B) — the only way
+    v_vvvv enters this chain, so with it supplied v.v_vvvv may be None
+    and the O(v^4) tensor need not exist at all."""
     if precision in ("hybrid", "pallas", "fused"):
         f32 = jnp.float32
         t1, t2 = t1.astype(f32), t2.astype(f32)
         t1_prev, t2_prev = t1_prev.astype(f32), t2_prev.astype(f32)
-        v = Slices(*(x.astype(f32) for x in v))
+        v = Slices(*(
+            x.astype(f32) if x is not None else None for x in v
+        ))
+        if vvvv_term is not None:
+            vvvv_term = vvvv_term.astype(f32)
     es = partial(jnp.einsum, optimize=True)
 
     # Stale quantities (see module docstring)
@@ -130,9 +141,11 @@ def cr_intermediates(
     )
 
     # I_vovv'' (ccsd.f90:2513-2520)
+    if vvvv_term is None:
+        vvvv_term = es("ecba,ie->ciab", v.v_vvvv, t1)
     I_vovv_pp = (
         jnp.transpose(v.v_vvov, (3, 2, 1, 0))
-        + es("ecba,ie->ciab", v.v_vvvv, t1)
+        + vvvv_term
         - es("icma,mb->ciab", x_ovov_p, t1)
         - es("ma,cimb->ciab", t1, x_voov_p)
         - es("cm,miab->ciab", I_vo, t2)
@@ -523,9 +536,15 @@ def do_ccsd_t_spatial(
     e_v = jnp.asarray(levels[nocc : nocc + nvirt])
 
     if doing_CR:
+        assert v.v_vvvv is not None or cc.cr_vvvv_term is not None, (
+            "CR intermediates need v_vvvv or its precomputed contraction "
+            "(streaming tier: do_ccsd_spatial computes cr_vvvv_term when "
+            "the config requests a CR variant)"
+        )
         I_vovv_pp, I_ooov_pp = cr_intermediates(
             t1, t2, jnp.asarray(cc.t1_prev), jnp.asarray(cc.t2_prev), v,
             nocc=nocc, precision=precision,
+            vvvv_term=cc.cr_vvvv_term,
         )
     else:
         I_vovv_pp = jnp.zeros((nvirt, nocc, nvirt, nvirt))

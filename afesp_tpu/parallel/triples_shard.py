@@ -9,19 +9,28 @@ the hybrid-f32 and Pallas-finale variants; the spatial path shards the
 fori_loop and psum-reduces the energies over the mesh.  Amplitudes and
 ERI slices are replicated — a deliberate trade, not an omission:
 
-- The mesh's MEMORY-scaling path is the CCSD solve (ccsd_shard
-  .ccsd_solve_sharded_ext): v_vvvv — the one O(v^4) operand, ~8x any
-  triples operand — shards over its digit-chunk axis, so per-device
-  bytes shrink 1/n_dev (asserted in tests/test_parallel
-  .test_sharded_ext_solve_scales_memory_and_matches).
-- The triples operands are O(o v^3) (vovv / VvF / IvF).  Sharding them
-  over the CONTRACTED axis would psum an O(v^3)-per-triple panel across
-  the mesh every grid step — at 174 bf that is ~16 MB of ICI traffic
-  per triple against ~1 ms of local GEMM, strictly worse than holding
-  the 0.5 GB operand replicated; sharding over a free panel axis still
-  needs the full operand on every device (it is the GEMM rhs).
-  Replication + grid-sharding is the right point until operands reach
-  multi-GB, which v_vvvv hits first and CCSD already covers.
+- The mesh's MEMORY-scaling path covers every O(v^4) object: the CCSD
+  solve shards the digit-limb v_vvvv over its chunk axis
+  (ccsd_shard.ccsd_solve_sharded_ext), and the CR stage's single v_vvvv
+  contraction (ccsd.f90:2513 analog) is computed from those same sharded
+  limbs (ccsd_spatial._cr_vvvv_term_from_B) — so per-device bytes of the
+  dominant operand shrink 1/n_dev through CCSD *and* the (T)/CR stage
+  (asserted in tests/test_parallel
+  .test_sharded_ext_solve_scales_memory_and_matches and
+  .test_cr_vvvv_term_from_limbs_sharded_matches_dense).
+- The triples operands are O(o v^3) (vovv / VvF / IvF), replicated in
+  f32 under hybrid/pallas (downcast before placement — the kernels
+  consume f32 anyway, so replication costs half).  Sharding them over
+  the CONTRACTED axis would psum an O(v^3)-per-triple panel across the
+  mesh every grid step — at 174 bf that is ~16 MB of ICI traffic per
+  triple against ~1 ms of local GEMM, strictly worse than holding the
+  0.25 GB f32 operand replicated; sharding over one free axis fails
+  structurally: the twelve t3_D/M3 terms use the same physical axis in
+  different index roles (a in one term, c in another — the joint
+  P(i/jk)P(a/bc) permutation structure, ccsd.f90:2159-2173), so every
+  device ends up needing every shard.  Replication + grid-sharding is
+  the right point until operands reach multi-GB, which v_vvvv hits
+  first — and both its consumers (CCSD, CR) now shard it.
 
 `triples_chunk_energies`-based sharding (per-(i,j,k) gather batches) is
 kept only as the full-cube oracle for the parity tests.
@@ -92,9 +101,16 @@ def triples_total_sharded(
     pad = np.zeros(per * ndev - total, dtype=np.int32)
     ii, jj, kk = (np.concatenate([x, pad]) for x in (ii, jj, kk))
     # inputs may arrive sharded over a different (sub-)mesh — e.g. the
-    # CC solve's divisor-fitted mesh; replicate them onto this one
+    # CC solve's divisor-fitted mesh; replicate them onto this one.
+    # Under hybrid/pallas the kernels consume f32 operands anyway —
+    # downcast BEFORE replicating so every device holds half the bytes
     from jax.sharding import NamedSharding
 
+    if precision in ("hybrid", "pallas"):
+        f32 = jnp.float32
+        t1, t2, vovv, ovoo, oovv = (
+            x.astype(f32) for x in (t1, t2, vovv, ovoo, oovv)
+        )
     repl = NamedSharding(mesh, P())
     t1, t2, vovv, ovoo, oovv, e_o, e_v = (
         jax.device_put(x, repl) for x in (t1, t2, vovv, ovoo, oovv, e_o, e_v)
@@ -170,6 +186,15 @@ def triples_spatial_sharded(
     idx, w = _padded_grid(nocc * nslab, ndev)
     from jax.sharding import NamedSharding
 
+    # hybrid/pallas kernels consume f32 operands — downcast BEFORE
+    # replicating so each device holds half the replicated bytes (the
+    # occupied-energy vectors stay f64: the D3 denominators are f64)
+    if precision in ("hybrid", "pallas"):
+        f32 = jnp.float32
+        t1, t2, v_vvov, v_oovo, v_oovv, I_vovv_pp, I_ooov_pp = (
+            x.astype(f32)
+            for x in (t1, t2, v_vvov, v_oovo, v_oovv, I_vovv_pp, I_ooov_pp)
+        )
     repl = NamedSharding(mesh, P())
     (t1, t2, v_vvov, v_oovo, v_oovv, e_o, e_v, I_vovv_pp, I_ooov_pp) = (
         jax.device_put(x, repl)

@@ -172,6 +172,62 @@ def bench_real(workdir: Path):
     _force(r)
     t_pipelined = (time.perf_counter() - t0) / k
 
+    # ---- one-sync chained stage (round-4 directive #5): init -> solve
+    # -> triples enqueued back-to-back as device work with NO intermediate
+    # host sync; ONE packed readback carries every scalar the host needs
+    # (solve summary + histories + the triples energy).  This is the wall
+    # a user sees from "CCSD starts" to "CCSD(T) energy on host" — the
+    # separately-synced ccsd_wall/t_wall above keep the per-stage
+    # attribution (each pays its own ~29 ms tunnel RTT).
+    from afesp_tpu.methods.ccsd_spinorb import (
+        get_spinorb_solver,
+        spinorb_cc_init,
+    )
+    from afesp_tpu.ops.cc_step import init_cc_state, pack_solve_summary
+
+    solver = get_spinorb_solver(paper_foo=False, vvvv_split=True)
+    nerr, maxiter = cfg.ccsd_diis_n_errmat, cfg.ccsd_maxiter
+    tol_e, tol_t = jnp.float64(cfg.ccsd_e_tol), jnp.float64(cfg.ccsd_t_tol)
+    no_sp = sys_.nel // 2
+
+    lv_spatial = jnp.asarray(hf.levels)
+
+    def run_chained():
+        import numpy as np
+
+        t0 = time.perf_counter()
+        v, D_ia, D_ijab, t1_0, t2_0, e0, r0, _sc = spinorb_cc_init(
+            mp2.eri_mo, lv_spatial, nocc_spatial=no_sp,
+            selfcheck=cfg.spinorb_selfcheck,
+        )
+        st = init_cc_state(t1_0, t2_0, nerr)
+        st, n_iter, done, hist_e, hist_rms = solver(
+            st, v, D_ia, D_ijab, v.oovv, e0, tol_e, tol_t,
+            nerr=nerr, maxiter=maxiter,
+        )
+        e_t_dev = _triples_total_strict(
+            st.t1_raw, st.t2_raw, v.vovv, v.ovoo, v.oovv,
+            lv[:no], lv[no:], iid, jjd, kkd, clen=clen, precision="fused",
+        )
+        vec = np.asarray(
+            pack_solve_summary(
+                hist_e, hist_rms, (e0, r0, n_iter, done, e_t_dev),
+                st.t1_raw, st.t1,
+            )
+        )
+        wall = time.perf_counter() - t0
+        it = int(vec[2])
+        return wall, float(vec[7 + it - 1]), float(vec[4]), it, bool(vec[3])
+
+    run_chained()  # warm any cache-state differences (none expected)
+    chain_wall, chain_e_ccsd, chain_e_t, chain_it, chain_done = run_chained()
+    chain_ok = (
+        chain_done
+        and abs(chain_e_ccsd - cc.e_ccsd) < 1e-10
+        and abs(chain_e_t - e_t) < 1e-10
+        and chain_it == cc.iterations
+    )
+
     # accuracy gate vs the reference run (els_cpu.out): 1e-8 Ha contract
     ok_ccsd = abs(cc.e_ccsd - -0.399789132814) < 1e-8
     ok_t = abs(e_t - -0.434032756) < 1e-8
@@ -190,7 +246,14 @@ def bench_real(workdir: Path):
     )
     fl_t = spinorb_triples_flops(o, v)          # algorithmic full-cube
     fl_t_x = spinorb_triples_flops(o, v, strict=True)  # as executed
+    # headline = the one-sync chained CCSD->(T) wall when it reproduces
+    # the per-stage results exactly (it is the same device work minus the
+    # intermediate tunnel syncs); per-stage walls stay as attribution
+    if chain_ok:
+        wall = chain_wall
     return wall, {
+        "chain_wall": chain_wall,
+        "chain_ok": chain_ok,
         "e_ccsd": cc.e_ccsd,
         "e_ccsd_t": e_t,
         "hf_wall": hf_wall,
@@ -204,6 +267,11 @@ def bench_real(workdir: Path):
         **alt,
         "total_wall": total_steady,
         "total_wall_first": total_first,
+        # round-4 directive #4: with the warmup foreground gate the first
+        # pass should stay bounded even on a loaded server; reported as
+        # its own gate (not folded into "ok" — the decayed-server floor
+        # is environment, not code; PERF.md records the measured floor)
+        "ok_first_lt_60s": total_first < 60.0,
         "cold_wall": ccsd_cold + t_cold,
         "ccsd_iters": cc.iterations,
         "ccsd_tflops": fl_ccsd / ccsd_wall / 1e12,

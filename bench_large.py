@@ -137,6 +137,19 @@ def main():
     o, v_ = sys_.nocc, sys_.nvirt  # spatial counts
     # triples GEMM flops (12 terms x (t3_D, m3) + z3/y smaller)
     fl_t = 2.0 * 12 * o**3 * v_**3 * (v_ + o) * 2
+    # MXU-utilization dashboard (round-4 directive #6): executed FLOPs
+    # against the ceilings the kernels actually run on — digit-GEMM CCSD
+    # vs the measured bf16 rate, f32 triples panels vs the f32 rate
+    from afesp_tpu.flops import (
+        MEASURED_BF16,
+        MEASURED_F32,
+        spatial_ccsd_iteration_flops,
+        spatial_triples_flops,
+    )
+
+    fl_ccsd_x = spatial_ccsd_iteration_flops(o, v_) * cc.iterations
+    fl_t_strict = spatial_triples_flops(o, v_, doing_CR=True, strict=True)
+    t_best = t_wall_fused if t_wall_fused else t_wall_warm
     print(
         json.dumps(
             {
@@ -169,6 +182,15 @@ def main():
                 "D_TT": round(tr.D_TT, 10),
                 "t1_diag": round(cc.t1_diagnostic, 8),
                 "t_tflops": round(fl_t / t_wall_warm / 1e12, 3),
+                "ccsd_digit_util_vs_bf16": round(
+                    fl_ccsd_x / ccsd_wall_warm / MEASURED_BF16, 6
+                ),
+                "t_util_vs_f32_ceiling": round(
+                    fl_t_strict / t_best / MEASURED_F32, 6
+                ),
+                # round-4 directive #2 gate (reported, not folded into the
+                # physical "ok"): warm HF must be single-digit seconds
+                "ok_hf_lt_8s": bool(hf_wall < 8.0),
                 "ok": all(checks.values()),
                 **{f"check_{k}": bool(x) for k, x in checks.items()},
             }

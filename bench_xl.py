@@ -5,9 +5,11 @@ build's own fused-kernel cliff (nvirt > 128), so it exercises the
 full streaming tier end to end on real hardware:
 
   packed-resident HF (gather-digitized J/K consts), sliced MO transform
-  (no dense n^4 tensor ever), digit-limb v_vvvv CCSD solve, f32-
-  reconstructed v_vvvv CR intermediates, and the chunked "pallas"
-  triples tier with pick_spatial_jlen at the sizes it exists for.
+  (no dense n^4 tensor ever), digit-limb v_vvvv CCSD solve, the CR
+  chain's v_vvvv contraction taken straight from the digit limbs (round
+  4: no f32 reconstruction — v_vvvv never exists dense at this tier),
+  and the chunked "pallas" triples tier with pick_spatial_jlen at the
+  sizes it exists for.
 
 Integrals come from the native McMurchie-Davidson engine
 (tools/make_trimer.py writes data/h2o-trimer-cc-pvtz/, eri.npy packed
@@ -84,8 +86,8 @@ def main():
     ccsd_wall = time.perf_counter() - t0
     # steady-state repeat (first solve pays lowering + server program
     # load; the Fortran baseline's walls likewise exclude compilation).
-    # Free the first result FIRST: its reconstructed f32 v_vvvv (3.9 GB
-    # padded at 174 bf) must not sit in HBM during the second solve.
+    # Free the first result FIRST: its precomputed CR v_vvvv term
+    # (o*v^3 f64) must not sit in HBM twice during the second solve.
     del cc
     t0 = time.perf_counter()
     cc = do_ccsd_spatial(
@@ -119,6 +121,17 @@ def main():
 
     o, v_ = sys_.nocc, sys_.nvirt
     fl_t = 2.0 * 12 * o**3 * v_**3 * (v_ + o) * 2
+    # MXU-utilization dashboard (round-4 directive #6): the trimer triples
+    # run the full-grid slab path (nvirt > 128), so strict=False
+    from afesp_tpu.flops import (
+        MEASURED_BF16,
+        MEASURED_F32,
+        spatial_ccsd_iteration_flops,
+        spatial_triples_flops,
+    )
+
+    fl_ccsd_x = spatial_ccsd_iteration_flops(o, v_) * cc.iterations
+    fl_t_x = spatial_triples_flops(o, v_, doing_CR=True, strict=False)
     print(
         json.dumps(
             {
@@ -143,6 +156,12 @@ def main():
                 "D_TT": round(tr.D_TT, 10),
                 "t1_diag": round(cc.t1_diagnostic, 8),
                 "t_tflops": round(fl_t / t_wall_warm / 1e12, 3),
+                "ccsd_digit_util_vs_bf16": round(
+                    fl_ccsd_x / ccsd_wall_warm / MEASURED_BF16, 6
+                ),
+                "t_util_vs_f32_ceiling": round(
+                    fl_t_x / t_wall_warm / MEASURED_F32, 6
+                ),
                 "ok": all(checks.values()),
                 **{f"check_{k}": bool(x) for k, x in checks.items()},
             }

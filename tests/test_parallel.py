@@ -279,3 +279,41 @@ def test_sharded_ext_solve_scales_memory_and_matches():
     np.testing.assert_allclose(
         np.asarray(st_sh.t2_raw), np.asarray(st_ref.t2_raw), rtol=0, atol=1e-8
     )
+
+
+def test_cr_vvvv_term_from_limbs_sharded_matches_dense():
+    """Round-4 memory scaling through the CR stage: the chain's single
+    v_vvvv contraction (ccsd.f90:2513's es("ecba,ie->ciab") analog)
+    computed straight from chunk-SHARDED digit limbs matches the dense
+    einsum, with each device holding 1/8 of the limb bytes — the full
+    v_vvvv (f64 or f32) never exists on any device."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from afesp_tpu.methods.ccsd_spatial import _cr_vvvv_term_from_B
+    from afesp_tpu.ops.exact_gemm import prechunk_B_chunkscaled
+    from afesp_tpu.parallel.ccsd_shard import _pad_chunk_axis
+
+    nv, o = 24, 6
+    rng = np.random.default_rng(7)
+    vvvv = jnp.asarray(rng.standard_normal((nv, nv, nv, nv)) * 0.1)
+    t1 = jnp.asarray(rng.standard_normal((o, nv)) * 0.3)
+
+    dense = np.asarray(jnp.einsum("ecba,ie->ciab", vvvv, t1))
+
+    vvvv_B = prechunk_B_chunkscaled(vvvv.reshape(nv * nv, nv * nv), L=6)
+    got = np.asarray(_cr_vvvv_term_from_B(t1, vvvv_B, nv=nv))
+    assert got.shape == (nv, o, nv, nv)
+    np.testing.assert_allclose(got, dense, rtol=0, atol=1e-7)
+
+    # sharded over the chunk axis, exactly as ccsd_solve_sharded_ext
+    # places the solve operand
+    mesh = default_mesh(8)
+    padded = _pad_chunk_axis(vvvv_B, 8)
+    sh = NamedSharding(mesh, P(mesh.axis_names[0], None, None))
+    chunks, s = padded
+    vvvv_B_sh = ([jax.device_put(c, sh) for c in chunks], jax.device_put(s, sh))
+    probe = vvvv_B_sh[0][0]
+    assert probe.addressable_shards[0].data.nbytes * 8 == probe.nbytes
+    assert len({sd.device for sd in probe.addressable_shards}) == 8
+    got_sh = np.asarray(_cr_vvvv_term_from_B(t1, vvvv_B_sh, nv=nv))
+    np.testing.assert_allclose(got_sh, dense, rtol=0, atol=1e-7)

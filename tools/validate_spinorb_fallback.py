@@ -11,6 +11,10 @@ wall + relative error.
 
 Usage (real TPU):
   PYTHONPATH=/root/repo:/root/.axon_site python tools/validate_spinorb_fallback.py
+  ... [--size NOxNV]   # default 4x140; e.g. --size 10x192 runs the
+                       # production-scale shape (dimer-like spin-orbital
+                       # dims: nocc=20 halved for runtime, nvirt=192)
+                       # where _pick_clen/_pick_jlen actually budget
 
 Prints one JSON line; rel_err must sit at the f32-GEMM noise floor
 (~1e-5 on random data; the production chemistry magnitudes land ~1e-9
@@ -30,24 +34,18 @@ REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
+def _size_arg() -> tuple[int, int]:
+    if "--size" in sys.argv:
+        no, nv = sys.argv[sys.argv.index("--size") + 1].split("x")
+        return int(no), int(nv)
+    return 4, 140
 
-    jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from afesp_tpu.methods.triples_spinorb import (
-        _pick_clen,
-        _triples_total_strict,
-        strict_plan,
-    )
-
-    no, nv = 4, 140  # nv > 128: the fused kernel refuses, fallback runs
+def _make_problem(no: int, nv: int):
+    """Deterministic f32-representable operands shared by the TPU run and
+    the f64 oracle subprocess (same seed, same construction)."""
     rng = np.random.default_rng(42)
-    # f32-cast operands so TPU (f32 GEMMs) and the f64 oracle see
-    # identical inputs; antisymmetrise t2/oovv in (a,b) and (i,j) like
-    # the real amplitudes so magnitudes behave
+
     def asym4(x):
         x = x - x.transpose(1, 0, 2, 3)
         return x - x.transpose(0, 1, 3, 2)
@@ -63,9 +61,30 @@ def main():
     oovv = oovv.astype(np.float32).astype(np.float64)
     e_o = -1.0 - np.arange(no)[::-1] * 0.1
     e_v = 0.5 + np.arange(nv) * 0.02
+    return t1, t2, vovv, ovoo, oovv, e_o, e_v
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from afesp_tpu.methods.triples_spinorb import (
+        _pick_clen,
+        _triples_total_strict,
+        strict_plan,
+    )
+
+    no, nv = _size_arg()  # nv > 128: the fused kernel refuses, fallback runs
+    # f32-cast operands so TPU (f32 GEMMs) and the f64 oracle see
+    # identical inputs; antisymmetrise t2/oovv in (a,b) and (i,j) like
+    # the real amplitudes so magnitudes behave
+    args_np = _make_problem(no, nv)
+    t1, t2, vovv, ovoo, oovv, e_o, e_v = args_np
 
     ii, jj, kk, clen = strict_plan(no, nv, "pallas")
-    args_np = (t1, t2, vovv, ovoo, oovv, e_o, e_v)
 
     # TPU fallback path (the production dispatch for nvirt > 128)
     args = tuple(jnp.asarray(x) for x in args_np)
@@ -84,7 +103,7 @@ def main():
     import subprocess
 
     oracle = subprocess.run(
-        [sys.executable, __file__, "--oracle"],
+        [sys.executable, __file__, "--oracle", "--size", f"{no}x{nv}"],
         capture_output=True, text=True, env=_cpu_env(),
     )
     e_ref = float(oracle.stdout.strip().splitlines()[-1])
@@ -132,29 +151,11 @@ def _oracle():
         strict_plan,
     )
 
-    no, nv = 4, 140
-    rng = np.random.default_rng(42)
-
-    def asym4(x):
-        x = x - x.transpose(1, 0, 2, 3)
-        return x - x.transpose(0, 1, 3, 2)
-
-    t1 = rng.standard_normal((no, nv)).astype(np.float32).astype(np.float64) * 0.01
-    t2 = asym4(rng.standard_normal((no, no, nv, nv))) * 0.01
-    t2 = t2.astype(np.float32).astype(np.float64)
-    vovv = rng.standard_normal((nv, no, nv, nv))
-    vovv = (vovv - vovv.transpose(0, 1, 3, 2)).astype(np.float32).astype(np.float64)
-    ovoo = rng.standard_normal((no, nv, no, no))
-    ovoo = (ovoo - ovoo.transpose(0, 1, 3, 2)).astype(np.float32).astype(np.float64)
-    oovv = asym4(rng.standard_normal((no, no, nv, nv)))
-    oovv = oovv.astype(np.float32).astype(np.float64)
-    e_o = -1.0 - np.arange(no)[::-1] * 0.1
-    e_v = 0.5 + np.arange(nv) * 0.02
-
+    no, nv = _size_arg()
     ii, jj, kk, clen = strict_plan(no, nv, "f64")
     import jax.numpy as jnp
 
-    args = tuple(jnp.asarray(x) for x in (t1, t2, vovv, ovoo, oovv, e_o, e_v))
+    args = tuple(jnp.asarray(x) for x in _make_problem(no, nv))
     e = float(
         _triples_total_strict(
             *args, jnp.asarray(ii), jnp.asarray(jj), jnp.asarray(kk),
