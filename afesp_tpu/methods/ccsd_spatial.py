@@ -122,6 +122,16 @@ def _intermediates(t1, t2, v: Slices, digs=None):
 
         return exact_einsum(spec, A, B, A_pre=digs[spec], maxdeg=7)
 
+    def cb(spec, A, B):
+        """Const on the B side (see _DIG_CONST_SPECS_B): A is the small
+        iteration-local operand, B the prechunked slice (consulted for
+        its shape only — the limbs carry the data)."""
+        if digs is None:
+            return es(spec, A, B)
+        from ..ops.exact_gemm import exact_einsum
+
+        return exact_einsum(spec, A, B, B_pre=digs[spec], maxdeg=7)
+
     def xe(spec, A, B):
         if digs is None:
             return es(spec, A, B)
@@ -135,10 +145,24 @@ def _intermediates(t1, t2, v: Slices, digs=None):
     # I_ai = (2 v_oovv[m,i,e,a] - v_oovv[m,i,a,e]) t1[m,e]        (ccsd.f90:1336)
     I_vo = 2.0 * ce("miea,me->ai", v.v_oovv, t1) - ce("miae,me->ai", v.v_oovv, t1)
 
-    # I_ba (ccsd.f90:1352-1353)
+    # The two t1-dressings of v_vvov, computed ONCE and shared by
+    # I_vv / I_ovov / I_voov / I_ooov' below.  These are the only v^3 o
+    # GEMVs against v_vvov left in the iteration (the r4 OOM rework):
+    # as prechunked digit GEMMs they read the resident limb form instead
+    # of digitizing the f64 operand in-loop (two ~1 GB transposed-copy +
+    # digitize transients per iteration at 174 bf, the r4 OOM report's
+    # items 9-16).
+    #   x_voov[b,j,i,a]    = v_vvov[b,e,i,a] t1[j,e]   (ccsd.f90:1413/1426)
+    #   x_ovov_t1[j,b,i,a] = v_vvov[e,b,i,a] t1[j,e]   (ccsd.f90:1401)
+    x_voov = cb("je,beia->bjia", t1, v.v_vvov)
+    x_ovov_t1 = cb("je,ebia->jbia", t1, v.v_vvov)
+
+    # I_ba (ccsd.f90:1352-1353).  The two v_vvov GEMVs are exact diagonal
+    # traces of the dressings above (set j = i = m and sum): zero extra
+    # contraction work and zero extra operand matricisations
     I_vv = (
-        2.0 * xe("ebma,me->ba", v.v_vvov, t1)
-        - xe("bema,me->ba", v.v_vvov, t1)
+        2.0 * es("mbma->ba", x_ovov_t1)
+        - es("bmma->ba", x_voov)
         - 2.0 * ce("mneb,mnea->ba", v.v_oovv, c_oovv)
         + ce("mnbe,mnea->ba", v.v_oovv, c_oovv)
     )
@@ -161,23 +185,30 @@ def _intermediates(t1, t2, v: Slices, digs=None):
         + ce("jiek,le->klij", v.v_oovo, t1)
     )
 
-    # I_ciab' (ccsd.f90:1388)
-    I_vovv_p = (
-        jnp.transpose(v.v_vvov, (3, 2, 1, 0))  # v_vvov[b,a,i,c] -> [c,i,a,b]
-        - ce("maic,mb->ciab", v.v_ovov, t1)
-        - ce("micb,ma->ciab", v.v_oovv, t1)
-    )
+    # I_ciab' (ccsd.f90:1388) — ONLY for the f64 debug-parity path: in
+    # the production T2 its single consumer xe("ie,ejab", t1, I_vovv_p)
+    # is reassociated through the t1 contraction (_iteration_core), so
+    # the (v,o,v,v) tensor + its X64 splits never materialise (the r4
+    # 174-bf OOM report's items 1-8, ~3 GB of peak HLO temp).  Unused ->
+    # traced away (DCE) in the hybrid program.
+    if digs is None:
+        I_vovv_p = (
+            jnp.transpose(v.v_vvov, (3, 2, 1, 0))  # v_vvov[b,a,i,c]->[c,i,a,b]
+            - ce("maic,mb->ciab", v.v_ovov, t1)
+            - ce("micb,ma->ciab", v.v_oovv, t1)
+        )
+    else:
+        I_vovv_p = None
 
     # I_jbia (ccsd.f90:1400-1401)
     I_ovov = (
         v.v_ovov
         - 0.5 * ce("imeb,jmea->jbia", v.v_oovv, c_oovv)
         - ce("mibj,ma->jbia", v.v_oovo, t1)
-        + xe("ebia,je->jbia", v.v_vvov, t1)
+        + x_ovov_t1
     )
 
-    # I_bjia (ccsd.f90:1413-1414)
-    x_voov = xe("beia,je->bjia", v.v_vvov, t1)  # also ccsd.f90:1426
+    # I_bjia (ccsd.f90:1413-1414; x_voov also ccsd.f90:1426)
     I_voov = (
         jnp.transpose(v.v_oovv, (2, 1, 0, 3))  # v_oovv[i,j,b,a] -> [b,j,i,a]
         + ce("imbe,mjea->bjia", v.v_oovv, t2)
@@ -252,8 +283,6 @@ _DIG_CONST_SPECS = (
     ("imej,me->ji", "v_oovo"),
     ("ijel,ke->klij", "v_oovo"),
     ("jiek,le->klij", "v_oovo"),
-    ("maic,mb->ciab", "v_ovov"),
-    ("micb,ma->ciab", "v_oovv"),
     ("mibj,ma->jbia", "v_oovo"),
     ("imbj,ma->bjia", "v_oovo"),
     ("miea,me->ia", "v_oovv"),
@@ -265,19 +294,68 @@ _DIG_CONST_SPECS = (
     ("efab,ijef->ijab", "v_vvvv"),
 )
 
+# r4 OOM rework: the v_vvov t1-dressings and the reassociated t1*I_vovv'
+# pieces run as prechunked digit GEMMs, killing the in-loop digitize of
+# v_vvov-sized operands (transposed f64 copy + X64 splits + L f32
+# residuals, ~2 GB of transient per site at 174 bf; items 1-16 of the r4
+# OOM report).  These prechunk on the B SIDE: their contraction axis is a
+# bare nvirt, and an A-side chunk (nc, M, kc=159) pads its minor dim to
+# 256 (1.6x, +70 MB per limb at 174 bf) while the B-side (nc, kc, N)
+# layout puts the huge free product minor (pads 1.006x).
+# "maic,mb->ciab"/"micb,ma->ciab" stay unprechunked with I_vovv_p (the
+# f64 debug-parity path only, where the digit route is off).
+_DIG_CONST_SPECS_B = (
+    ("je,beia->bjia", "v_vvov"),
+    ("je,ebia->jbia", "v_vvov"),
+    ("ie,baje->ijab", "v_vvov"),
+    ("ie,maje->imaj", "v_ovov"),
+    ("ie,mjeb->imjb", "v_oovv"),
+)
+
+
+# Digit depth per prechunked const: L=6/maxdeg=7 (15 digit-pair GEMMs)
+# default — with twelve contractions converted, the compounded truncation
+# shifts the stretched-N2 converged energy by 5.1e-8 at L=4 and 8.7e-9 at
+# L=5, so L=6 buys the 1e-8 contract a comfortable margin while staying
+# ~5-10x cheaper than the emulated-f64 einsums it replaces.  The three
+# O(v^3 o) v_vvov matricisations added by the r4 OOM rework hold L=5
+# (~0.6 GB each at 174 bf; they feed t1-weighted CORRECTION terms whose
+# absolute scale is |t1| x |v| ~ 1e-2, so 2^-35-of-scale truncation sits
+# ~1e-12 absolute — far inside the contract).
+_DIG_L = {
+    "je,beia->bjia": 5,
+    "je,ebia->jbia": 5,
+    "ie,baje->ijab": 5,
+    # the two O(v^3 o) A-side v_vvov matricisations: L=5 trims 120 MB of
+    # resident limbs each at 174 bf; they feed I_ooov' and one T1 term
+    # (t2-weighted, scale ~1e-2), so 2^-35-of-scale truncation sits far
+    # below the 1e-8 contract (stretched-N2 compound at L=5 across
+    # twelve conversions measured 8.7e-9; here it is two)
+    "efia,jkef->jkia": 5,
+    # L=4 (~2^-28 of scale): feeds exactly one T1-level term whose own
+    # magnitude is ~1e-2 — truncation lands ~1e-10 absolute, and the 51 MB
+    # HBM overage of the 174-bf solve (r4 probe) needed the limb plane
+    "efma,mief->ia": 4,
+}
+
+
+def _build_digs(v: Slices, skip_vvvv: bool = False) -> dict:
+    from ..ops.exact_gemm import prechunk_op
+
+    digs = {
+        spec: prechunk_op(spec, "A", getattr(v, name), L=_DIG_L.get(spec, 6))
+        for spec, name in _DIG_CONST_SPECS
+        if not (skip_vvvv and name == "v_vvvv")
+    }
+    digs.update({
+        spec: prechunk_op(spec, "B", getattr(v, name), L=_DIG_L.get(spec, 6))
+        for spec, name in _DIG_CONST_SPECS_B
+    })
+    return digs
+
 
 def spatial_presplit(v: Slices, kc: int = 64) -> SpatialHybridConsts:
-    from ..ops.exact_gemm import prechunk_op
-    # L=6/maxdeg=7 (15 digit-pair GEMMs): with twelve contractions
-    # converted, the compounded truncation shifts the stretched-N2
-    # converged energy by 5.1e-8 at L=4 and 8.7e-9 at L=5 — L=6 buys the
-    # 1e-8 contract a comfortable margin while staying ~5-10x cheaper
-    # than the emulated-f64 einsums it replaces
-    digs = {
-        spec: prechunk_op(spec, "A", getattr(v, name), L=6)
-        for spec, name in _DIG_CONST_SPECS
-    }
-    return SpatialHybridConsts(digs=digs)
+    return SpatialHybridConsts(digs=_build_digs(v))
 
 
 def spatial_presplit_ext(v: Slices, vvvv_B) -> SpatialHybridConsts:
@@ -285,14 +363,7 @@ def spatial_presplit_ext(v: Slices, vvvv_B) -> SpatialHybridConsts:
     materialises it in f64); its digit form arrives prebuilt from the
     streaming transform, everything else prechunks from the f64 slices
     inside the solve program as usual."""
-    from ..ops.exact_gemm import prechunk_op
-
-    digs = {
-        spec: prechunk_op(spec, "A", getattr(v, name), L=6)
-        for spec, name in _DIG_CONST_SPECS
-        if name != "v_vvvv"
-    }
-    return SpatialHybridConsts(digs=digs, vvvv_B=vvvv_B)
+    return SpatialHybridConsts(digs=_build_digs(v, skip_vvvv=True), vvvv_B=vvvv_B)
 
 
 def _iteration_core(
@@ -313,10 +384,13 @@ def _iteration_core(
         def ce(spec, A, B):
             return exact_einsum(spec, A, B, A_pre=digs[spec], maxdeg=7)
 
+        def cb(spec, A, B):  # const on the B side (_DIG_CONST_SPECS_B)
+            return exact_einsum(spec, A, B, B_pre=digs[spec], maxdeg=7)
+
         def xe(spec, A, B):  # both operands iteration-local
             return exact_einsum(spec, A, B, L=6, maxdeg=7)
     else:
-        ce = xe = es
+        ce = cb = xe = es
     im = _intermediates(t1, t2, v, digs)
     asym_t2 = im["asym_t2"]
     c_oovv = im["c_oovv"]
@@ -341,7 +415,11 @@ def _iteration_core(
             vvvv_term = 0.5 * split_einsum("efab,ijef->ijab", v.v_vvvv, c_oovv)
         elif consts.vvvv_B is not None:
             # external-slices tier: v_vvvv exists only as per-chunk bf16
-            # limbs (see SpatialHybridConsts.vvvv_B); contract from them
+            # limbs (see SpatialHybridConsts.vvvv_B); contract from them.
+            # (A sequenced two-half M split of this GEMM was probed for
+            # the r4 HBM budget and REGRESSED: XLA kept both halves'
+            # per-degree pair products alive plus a layout copy —
+            # 1.23 GB vs the single 1.16 GB buffer.)
             from ..ops.exact_gemm import exact_einsum
 
             nv = t2.shape[-1]
@@ -353,12 +431,26 @@ def _iteration_core(
             vvvv_term = 0.5 * ce("efab,ijef->ijab", v.v_vvvv, c_oovv)
     else:
         vvvv_term = 0.5 * es("efab,ijef->ijab", v.v_vvvv, c_oovv)
+    # t1 * I_vovv' (Eq. 44 term 5), reassociated through the t1
+    # contraction so the (v,o,v,v) intermediate never exists (r4 OOM
+    # rework; identical math, summation order differs at roundoff):
+    #   sum_e t1[i,e] I_vovv'[e,j,a,b]
+    #     = sum_e t1[i,e] v_vvov[b,a,j,e]                     (term A)
+    #     - sum_m U[i,m,a,j] t1[m,b],  U = v_ovov[m,a,j,e] t1[i,e]
+    #     - sum_m W[i,m,j,b] t1[m,a],  W = v_oovv[m,j,e,b] t1[i,e]
+    U = cb("ie,maje->imaj", t1, v.v_ovov)
+    W = cb("ie,mjeb->imjb", t1, v.v_oovv)
+    t1_Ivovv = (
+        cb("ie,baje->ijab", t1, v.v_vvov)
+        - es("imaj,mb->ijab", U, t1)
+        - es("imjb,ma->ijab", W, t1)
+    )
     X = (
         xe("ijae,eb->ijab", t2, im["I_vv"])
         - xe("imab,jm->ijab", t2, im["I_oo"])
         + vvvv_term
         + 0.5 * xe("mnab,ijmn->ijab", c_oovv, im["I_oooo"])
-        + xe("ie,ejab->ijab", t1, im["I_vovv_p"])
+        + t1_Ivovv
         - xe("ma,ijmb->ijab", t1, im["I_ooov_p"])
         - xe("mjae,iemb->ijab", t2, im["I_ovov"])
         - xe("iema,mjeb->ijab", im["I_ovov"], t2)
