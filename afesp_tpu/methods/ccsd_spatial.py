@@ -498,8 +498,8 @@ def get_spatial_solver(vvvv_split: bool = False):
     return ccsd_spatial_solver_hybrid if vvvv_split else ccsd_spatial_solver
 
 
-@partial(jax.jit, static_argnames=("nv",))
-def _cr_vvvv_term_from_B(t1, vvvv_B, *, nv: int):
+@partial(jax.jit, static_argnames=("nv", "streamed"))
+def _cr_vvvv_term_from_B(t1, vvvv_B, *, nv: int, streamed: bool = True):
     """es("ecba,ie->ciab", v_vvvv, t1) straight from the digit limbs.
 
     vvvv_B stores v_vvvv as prechunk_B_chunkscaled limbs of the
@@ -513,15 +513,25 @@ def _cr_vvvv_term_from_B(t1, vvvv_B, *, nv: int):
     mesh the limbs' chunk axis is sharded and GSPMD partitions the pair
     GEMMs, psum-ing the cross-chunk combine (see
     parallel/ccsd_shard.ccsd_solve_sharded_ext — same mechanism).
+    streamed=True (single chip): the K-chunk axis streams through a
+    fori_loop (ops/exact_gemm.gemm_B_pre_streamed) — the fused path's
+    (nc, M, v^2) pair-product block is 12.8 GB at 174 bf and cannot
+    coexist with the resident limbs.  streamed=False (mesh path): the
+    fused exact_gemm, whose nc-axis pair products GSPMD shards 1/n_dev
+    alongside the chunk-sharded limbs.
+
     Returns (c,i,a,b) f64."""
-    from ..ops.exact_gemm import exact_gemm
+    from ..ops.exact_gemm import exact_gemm, gemm_B_pre_streamed
 
     o = t1.shape[0]
     eye = jnp.eye(nv, dtype=jnp.float32)
     A = (
         t1.astype(jnp.float32)[:, None, :, None] * eye[None, :, None, :]
     ).reshape(o * nv, nv * nv)
-    out = exact_gemm(A=A, B_pre=vvvv_B, maxdeg=6)
+    if streamed:
+        out = gemm_B_pre_streamed(A, vvvv_B, maxdeg=6)
+    else:
+        out = exact_gemm(A=A, B_pre=vvvv_B, maxdeg=6)
     return out.reshape(o, nv, nv, nv).transpose(1, 0, 3, 2)
 
 

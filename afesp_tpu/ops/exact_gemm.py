@@ -238,6 +238,51 @@ def reconstruct_f32_from_B_pre(B_pre, K: int, N: int):
     return out.reshape(K, N)
 
 
+def gemm_B_pre_streamed(A, B_pre, maxdeg: int = 6):
+    """(M,K) @ (K,N) against a prechunk_B_chunkscaled operand, STREAMING
+    the K-chunk axis with a lax.fori_loop: peak transient is one (M,N)
+    f32 pair-product group + the f64 accumulator, instead of the
+    (nc, M, N) pair-product blocks the fused path materialises — 12.8 GB
+    for the CR Kronecker GEMM at 174 bf (nc=53, M=o*v, N=v^2), which is
+    why the single-chip CR term cannot use exact_gemm directly.  Same
+    digit algebra as _exact_gemm_pre (f32 exact within a chunk, f64
+    combine across), summation order differs at f64 roundoff."""
+    Bc, sB = B_pre
+    nc, kc, N = Bc[0].shape
+    M, K = A.shape
+    Ad, sA = digitize_A(A, len(Bc))
+    pad = nc * kc - K
+
+    def ch(a):
+        if pad:
+            a = jnp.pad(a, ((0, 0), (0, pad)))
+        return a.reshape(M, nc, kc).transpose(1, 0, 2).astype(jnp.bfloat16)
+
+    Ac = [ch(a) for a in Ad]
+
+    def body(c, acc):
+        groups: dict = {}
+        for i in range(len(Ac)):
+            for j in range(len(Bc)):
+                if i + j + 2 > maxdeg:
+                    continue
+                P = jnp.einsum(
+                    "mk,kn->mn", Ac[i][c], Bc[j][c],
+                    preferred_element_type=jnp.float32,
+                )
+                _group_add(groups, i + j + 2, P)
+        t = None
+        for k in sorted(groups):
+            ps = groups[k]
+            g = ps[0] if len(ps) == 1 else sum(ps[1:], start=ps[0])
+            g = (g * jnp.float32(2.0 ** (-_Q * k[0]))).astype(jnp.float64)
+            t = g if t is None else t + g
+        return acc + t * sB[c]
+
+    acc = jax.lax.fori_loop(0, nc, body, jnp.zeros((M, N)))
+    return acc * (4.0 * sA)
+
+
 def exact_einsum(sub: str, A, B, L: int = 4, maxdeg: int = 5, A_pre=None,
                  B_pre=None, A_shape=None, B_shape=None):
     """Two-operand einsum via exact_gemm (plain contractions only, same

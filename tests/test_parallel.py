@@ -315,5 +315,7 @@ def test_cr_vvvv_term_from_limbs_sharded_matches_dense():
     probe = vvvv_B_sh[0][0]
     assert probe.addressable_shards[0].data.nbytes * 8 == probe.nbytes
     assert len({sd.device for sd in probe.addressable_shards}) == 8
-    got_sh = np.asarray(_cr_vvvv_term_from_B(t1, vvvv_B_sh, nv=nv))
+    got_sh = np.asarray(
+        _cr_vvvv_term_from_B(t1, vvvv_B_sh, nv=nv, streamed=False)
+    )
     np.testing.assert_allclose(got_sh, dense, rtol=0, atol=1e-7)
