@@ -517,12 +517,17 @@ def do_ccsd_t_spatial(
             # VMEM kernel — hardware-validated on the 116-bf dimer
             # (fused_ok=true, 0.36 s vs 0.95 s for the slab+finale
             # "pallas" path at identical 1e-8 accuracy, BENCH_LARGE r2);
-            # "pallas" when nvirt exceeds the kernel's 128-lane panel, or
-            # under a mesh (the sharded path shards the slab kernel).
+            # "pallas" under a mesh (the sharded path shards the slab
+            # kernel).  Above the kernels' 128-lane virtual panel BOTH
+            # Pallas tiers stay "hybrid": the finale's per-(j,k) v^3
+            # VMEM cube pads past the 128 MB budget at nvirt=159
+            # (measured 191 MB reserved, r4 trimer attempt 3) — the
+            # jnp slab finale at jlen=1 fits HBM instead.
             # An explicit ccsd_precision="f64" is respected.
-            precision = (
-                "fused" if (sys_.nvirt <= 128 and mesh is None) else "pallas"
-            )
+            if sys_.nvirt > 128:
+                precision = "hybrid"
+            else:
+                precision = "fused" if mesh is None else "pallas"
 
     nocc, nvirt = sys_.nocc, sys_.nvirt
     doing_T = cfg.ccsd_t_paren
@@ -543,7 +548,11 @@ def do_ccsd_t_spatial(
         )
         I_vovv_pp, I_ooov_pp = cr_intermediates(
             t1, t2, jnp.asarray(cc.t1_prev), jnp.asarray(cc.t2_prev), v,
-            nocc=nocc, precision=precision,
+            nocc=nocc,
+            # normalised: the chain only distinguishes f32 vs f64, and
+            # "hybrid"/"pallas"/"fused" are identical HLO — one static
+            # key means one compile serves all three callers
+            precision="hybrid" if precision != "f64" else "f64",
             vvvv_term=cc.cr_vvvv_term,
         )
     else:

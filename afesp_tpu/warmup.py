@@ -274,7 +274,9 @@ def _prefetch_spatial(
         nvirt = nbasis - nocc
         t_prec = precision
         if t_prec == "hybrid" and jax.default_backend() in ("tpu", "axon"):
-            t_prec = "fused" if nvirt <= 128 else "pallas"
+            # mirror do_ccsd_t_spatial: above the 128-lane panel the
+            # spatial tiers stay "hybrid" (Pallas finale VMEM cliff)
+            t_prec = "fused" if nvirt <= 128 else "hybrid"
         if doing_cr:
             from .methods.triples_spatial import cr_intermediates
             from .methods.ccsd_spatial import Slices
@@ -364,7 +366,9 @@ def _prefetch_spatial(
         nvirt = nbasis - nocc
         t_prec = precision
         if t_prec == "hybrid" and jax.default_backend() in ("tpu", "axon"):
-            t_prec = "fused" if nvirt <= 128 else "pallas"
+            # mirror do_ccsd_t_spatial: above the 128-lane panel the
+            # spatial tiers stay "hybrid" (Pallas finale VMEM cliff)
+            t_prec = "fused" if nvirt <= 128 else "hybrid"
         e_o, e_v = levels[:nocc], levels[nocc:]
         if doing_cr:
             from .methods.triples_spatial import cr_intermediates
