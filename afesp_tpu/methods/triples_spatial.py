@@ -563,24 +563,43 @@ def do_ccsd_t_spatial(
 
     targs = (t1, t2, v.v_vvov, v.v_oovo, v.v_oovv, e_o, e_v,
              I_vovv_pp, I_ooov_pp)
+    totals = None
     if precision == "fused" and mesh is None:
-        # sorted-triples fully-fused kernel (ops/triples_pallas)
+        # sorted-triples fully-fused kernel (ops/triples_pallas).  The
+        # kernel's VMEM reservation sits near the 128 MB budget and the
+        # margin is toolchain-dependent (r4: a serving-stack update added
+        # ~31 MB of register-spill accounting and pushed the 116-bf dimer
+        # 396 KB over) — on a compile failure fall back to the slab
+        # finale instead of dying, and say so.
         from ..ops.triples_pallas import triples_fused_spatial
 
-        si, sj, sk, w, ntrip = _spatial_plan_device(nocc)
-        partials = triples_fused_spatial(
-            *targs, si, sj, sk, has_m=doing_CR,
-        )
-        # (C, 8, 768) compensated partial grids: f64-sum each 128-lane
-        # grid per sum, then apply the f64 orbit weights — the f64
-        # combine of ~1e-5-scale f32 slots keeps per-triple error at
-        # slot-ulp scale (see the kernel's export comment)
-        g = partials[:ntrip].astype(jnp.float64).reshape(ntrip, 8, 6, 128)
-        s = jnp.sum(
-            jnp.sum(g, axis=(1, 3)) * w[:, None],
-            axis=0,
-        )
-        totals = (s[0], s[0] + s[1], s[2], s[2] + s[3], s[4], s[4] + s[5])
+        try:
+            si, sj, sk, w, ntrip = _spatial_plan_device(nocc)
+            partials = triples_fused_spatial(
+                *targs, si, sj, sk, has_m=doing_CR,
+            )
+            # (C, 8, 768) compensated partial grids: f64-sum each
+            # 128-lane grid per sum, then apply the f64 orbit weights —
+            # the f64 combine of ~1e-5-scale f32 slots keeps per-triple
+            # error at slot-ulp scale (see the kernel's export comment)
+            g = (
+                partials[:ntrip].astype(jnp.float64).reshape(ntrip, 8, 6, 128)
+            )
+            s = jnp.sum(
+                jnp.sum(g, axis=(1, 3)) * w[:, None],
+                axis=0,
+            )
+            s = jax.block_until_ready(s)  # surface a compile/VMEM error HERE
+            totals = (s[0], s[0] + s[1], s[2], s[2] + s[3], s[4], s[4] + s[5])
+        except Exception:
+            rep.write(
+                " Fused triples kernel exceeded the VMEM budget;"
+                " falling back to the slab finale."
+            )
+            precision = "hybrid"
+            jlen = pick_spatial_jlen(nocc, nvirt, precision, i_block)
+    if totals is not None:
+        pass
     elif mesh is not None:
         # multi-chip: the SAME (i, j-slab) slab kernel, shard_map'd over
         # the mesh with psum (parallel/triples_shard.py)

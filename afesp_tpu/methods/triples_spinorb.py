@@ -389,15 +389,20 @@ def do_ccsd_t_spinorb(
     "fused" — the fully VMEM-resident sorted-triples kernel
     (hardware-validated on the pVTZ headline: 52.5 ms vs 79.8 ms for
     the "pallas" chunk path at identical 1e-8 accuracy, BENCH r2) —
-    when nvirt <= 128, "pallas" (strict-triangle chunks + Pallas
-    finale) above that; "hybrid" off-TPU, where the Pallas kernels
-    only exist in interpret mode."""
+    when nvirt <= 128; "hybrid" (strict-triangle chunks + jnp finale)
+    above that: the Pallas finale's v^3 VMEM window pads its minor dim
+    past 128 lanes (140 -> 256, 1.83x) and blows the 128 MB budget
+    (measured 165.8 MB reserved at nvirt=140, r4) — so the chunked
+    hybrid path IS the production nvirt > 128 tier, the one
+    tools/validate_spinorb_fallback.py validates on hardware.
+    "hybrid" off-TPU too, where the Pallas kernels only exist in
+    interpret mode."""
     if precision is None:
         import jax
 
         on_tpu = jax.default_backend() in ("tpu", "axon")
         if on_tpu:
-            precision = "fused" if sys_.nvirt <= 128 else "pallas"
+            precision = "fused" if sys_.nvirt <= 128 else "hybrid"
         else:
             precision = "hybrid"
     rep = rep or Reporter()
@@ -430,11 +435,29 @@ def do_ccsd_t_spinorb(
         if ii is None:
             total = 0.0
         else:
-            total = float(
-                _triples_total_strict(
-                    *args, ii, jj, kk, clen=clen, precision=precision,
+            try:
+                total = float(
+                    _triples_total_strict(
+                        *args, ii, jj, kk, clen=clen, precision=precision,
+                    )
                 )
-            )
+            except Exception:
+                if precision not in ("fused", "pallas"):
+                    raise
+                # Pallas VMEM margins are toolchain-dependent (see
+                # triples_spatial's fallback note) — degrade to the jnp
+                # finale instead of dying
+                rep.write(
+                    " Pallas triples kernel exceeded the VMEM budget;"
+                    " falling back to the hybrid chunk path."
+                )
+                precision = "hybrid"
+                ii, jj, kk, clen = _strict_plan_device(nocc, nvirt, precision)
+                total = float(
+                    _triples_total_strict(
+                        *args, ii, jj, kk, clen=clen, precision=precision,
+                    )
+                )
 
     e_ccsd_t = total + cc.e_ccsd
     rep.write(

@@ -151,7 +151,7 @@ def _prefetch_spinorb(
     # the compile happens again at production time
     nvirt_so = 2 * nbasis - nel
     if jax.default_backend() in ("tpu", "axon"):
-        t_prec = "fused" if nvirt_so <= 128 else "pallas"
+        t_prec = "fused" if nvirt_so <= 128 else "hybrid"
     else:
         t_prec = "hybrid"
 

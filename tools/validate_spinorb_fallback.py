@@ -2,7 +2,9 @@
 
 The fused VMEM kernel hard-asserts nvirt <= 128; above that,
 do_ccsd_t_spinorb drops to the strict-triangle chunk path
-(_triples_total_strict, precision="pallas") whose _pick_clen budget
+(_triples_total_strict, precision="hybrid" — the Pallas finale's v^3
+window pads past 128 lanes above nvirt=128 and blows the VMEM budget,
+so the jnp finale is the production tier) whose _pick_clen budget
 heuristic had never run on the chip at the sizes it exists for.  This
 tool runs that exact path on the TPU at (nocc=4, nvirt=140) — clen lands
 at 1, exercising the chunk loop — against an all-f64 CPU oracle of the
@@ -84,14 +86,14 @@ def main():
     args_np = _make_problem(no, nv)
     t1, t2, vovv, ovoo, oovv, e_o, e_v = args_np
 
-    ii, jj, kk, clen = strict_plan(no, nv, "pallas")
+    ii, jj, kk, clen = strict_plan(no, nv, "hybrid")
 
     # TPU fallback path (the production dispatch for nvirt > 128)
     args = tuple(jnp.asarray(x) for x in args_np)
     iii, jjj, kkk = (jnp.asarray(x) for x in (ii, jj, kk))
     run = lambda: float(
         _triples_total_strict(
-            *args, iii, jjj, kkk, clen=clen, precision="pallas"
+            *args, iii, jjj, kkk, clen=clen, precision="hybrid"
         )
     )
     e_tpu = run()  # compile + first-exec
@@ -116,7 +118,7 @@ def main():
                 "nocc": no,
                 "nvirt": nv,
                 "clen": clen,
-                "pick_clen": _pick_clen(nv, "pallas", len(ii)),
+                "pick_clen": _pick_clen(nv, "hybrid", len(ii)),
                 "e_tpu": e_tpu,
                 "e_f64_oracle": e_ref,
                 "rel_err": rel,
