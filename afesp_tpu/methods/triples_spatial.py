@@ -60,6 +60,9 @@ class TriplesResult:
     D_TT: float = 0.0
     e_highest: float = 0.0
     calcname: str = "CCSD"
+    # which kernel tier actually ran (a Pallas VMEM fallback may differ
+    # from the requested precision — benches report this honestly)
+    precision_used: str = ""
 
 
 def _xbar(x: jnp.ndarray) -> jnp.ndarray:
@@ -642,6 +645,7 @@ def do_ccsd_t_spatial(
             D_TT += const
 
     res = TriplesResult()
+    res.precision_used = precision
     e_ccsd = cc.e_ccsd
     res.e_ccsd_t = e_ccsd + e_T
     res.e_highest = res.e_ccsd_t

@@ -115,8 +115,9 @@ def main():
         do_ccsd_t_spatial(sys_, cc, cfg, hf.levels, rep, precision="fused")
         t0 = time.perf_counter()
         trf = do_ccsd_t_spatial(sys_, cc, cfg, hf.levels, rep, precision="fused")
-        t_wall_fused = time.perf_counter() - t0
-        fused_ok = bool(abs(trf.e_crccsd_tt - tr.e_crccsd_tt) < 1e-8)
+        if trf.precision_used == "fused":  # a VMEM fallback is not "fused"
+            t_wall_fused = time.perf_counter() - t0
+            fused_ok = bool(abs(trf.e_crccsd_tt - tr.e_crccsd_tt) < 1e-8)
     except Exception:
         pass
 
@@ -169,6 +170,7 @@ def main():
                     None if t_wall_fused is None else round(t_wall_fused, 3)
                 ),
                 "fused_ok": fused_ok,
+                "t_precision": tr.precision_used,
                 "total_wall": round(time.perf_counter() - t_all, 3),
                 "total_wall_steady": round(
                     hf_wall + mp2_wall + ccsd_wall_warm + t_wall_warm, 3

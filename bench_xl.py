@@ -148,6 +148,7 @@ def main():
                 "t_wall_warm": round(t_wall_warm, 3),
                 "total_wall": round(time.perf_counter() - t_all, 3),
                 "ccsd_iters": cc.iterations,
+                "t_precision": tr.precision_used,
                 "e_hf": round(e_hf_tot, 10),
                 "e_mp2_corr": round(mp2.e_mp2, 10),
                 "e_ccsd_corr": round(cc.e_ccsd, 10),
