@@ -595,11 +595,17 @@ def do_ccsd_t_spatial(
             s = jax.block_until_ready(s)  # surface a compile/VMEM error HERE
             totals = (s[0], s[0] + s[1], s[2], s[2] + s[3], s[4], s[4] + s[5])
         except Exception:
+            # prefer the slab + Pallas-finale tier (its per-(j,k) v^3
+            # window is exactly 128 lanes at nvirt <= 128, and it ran
+            # 0.95 s on the dimer in r2); the all-jnp "hybrid" finale is
+            # ~300x slower there (279 s measured — emulated-f64
+            # elementwise over the o^2 v^3 slabs) and is only the right
+            # answer above 128 lanes, where the finale cannot fit
+            precision = "pallas" if nvirt <= 128 else "hybrid"
             rep.write(
                 " Fused triples kernel exceeded the VMEM budget;"
-                " falling back to the slab finale."
+                f" falling back to the {precision} slab finale."
             )
-            precision = "hybrid"
             jlen = pick_spatial_jlen(nocc, nvirt, precision, i_block)
     if totals is not None:
         pass
@@ -614,15 +620,26 @@ def do_ccsd_t_spatial(
             precision="pallas" if precision == "fused" else precision,
         )
     else:
-        totals = _triples_total_spatial(
-            *targs,
-            nocc=nocc,
-            jlen=jlen,
-            doing_T=doing_T,
-            doing_R=doing_R,
-            doing_CR=doing_CR,
-            precision=precision,
-        )
+        flags = dict(doing_T=doing_T, doing_R=doing_R, doing_CR=doing_CR)
+        try:
+            totals = jax.block_until_ready(
+                _triples_total_spatial(
+                    *targs, nocc=nocc, jlen=jlen, precision=precision, **flags
+                )
+            )
+        except Exception:
+            if precision != "pallas":
+                raise
+            # second-level degrade: slab + jnp finale (slow but fits)
+            rep.write(
+                " Pallas slab finale exceeded the VMEM budget;"
+                " falling back to the hybrid finale."
+            )
+            precision = "hybrid"
+            jlen = pick_spatial_jlen(nocc, nvirt, precision, i_block)
+            totals = _triples_total_spatial(
+                *targs, nocc=nocc, jlen=jlen, precision=precision, **flags
+            )
     sums = {k: float(x) for k, x in zip(_SUM_KEYS, totals)}
     if cfg.ccsd_t_spatial_bug_compat and doing_T and not (doing_R or doing_CR):
         # reference quirk (ccsd.f90:2211-2215): z3_bar is only formed for

@@ -221,10 +221,12 @@ def bench_real(workdir: Path):
 
     run_chained()  # warm any cache-state differences (none expected)
     chain_wall, chain_e_ccsd, chain_e_t, chain_it, chain_done = run_chained()
+    # the raw strict kernel returns E(T) alone; do_ccsd_t_spinorb returns
+    # e_ccsd + E(T) — compare like with like
     chain_ok = (
         chain_done
         and abs(chain_e_ccsd - cc.e_ccsd) < 1e-10
-        and abs(chain_e_t - e_t) < 1e-10
+        and abs((chain_e_ccsd + chain_e_t) - e_t) < 1e-10
         and chain_it == cc.iterations
     )
 
@@ -254,6 +256,9 @@ def bench_real(workdir: Path):
     return wall, {
         "chain_wall": chain_wall,
         "chain_ok": chain_ok,
+        "chain_e_ccsd": chain_e_ccsd,
+        "chain_e_t": chain_e_t,
+        "chain_iters": chain_it,
         "e_ccsd": cc.e_ccsd,
         "e_ccsd_t": e_t,
         "hf_wall": hf_wall,
