@@ -485,6 +485,13 @@ def pick_spatial_jlen(
 
 _SPATIAL_PLAN_CACHE: dict = {}
 
+# (o, v, has_m) signatures whose fused-kernel compile failed (VMEM):
+# compile FAILURES are not cached by XLA, so without this memo every
+# do_ccsd_t_spatial call would re-pay a ~150 s server compile attempt
+# before falling back (measured: the dimer's "warm" (T) wall read 296 s
+# of which ~1 s was the actual fallback kernel)
+_FUSED_BROKEN: set = set()
+
 
 def _spatial_plan_device(nocc: int):
     """strict_spatial_plan memoized as device arrays (see the spin-
@@ -566,6 +573,12 @@ def do_ccsd_t_spatial(
 
     targs = (t1, t2, v.v_vvov, v.v_oovo, v.v_oovv, e_o, e_v,
              I_vovv_pp, I_ooov_pp)
+    if (
+        precision == "fused"
+        and (nocc, nvirt, doing_CR) in _FUSED_BROKEN
+    ):
+        precision = "pallas" if nvirt <= 128 else "hybrid"
+        jlen = pick_spatial_jlen(nocc, nvirt, precision, i_block)
     totals = None
     if precision == "fused" and mesh is None:
         # sorted-triples fully-fused kernel (ops/triples_pallas).  The
@@ -595,12 +608,11 @@ def do_ccsd_t_spatial(
             s = jax.block_until_ready(s)  # surface a compile/VMEM error HERE
             totals = (s[0], s[0] + s[1], s[2], s[2] + s[3], s[4], s[4] + s[5])
         except Exception:
+            _FUSED_BROKEN.add((nocc, nvirt, doing_CR))
             # prefer the slab + Pallas-finale tier (its per-(j,k) v^3
             # window is exactly 128 lanes at nvirt <= 128, and it ran
-            # 0.95 s on the dimer in r2); the all-jnp "hybrid" finale is
-            # ~300x slower there (279 s measured — emulated-f64
-            # elementwise over the o^2 v^3 slabs) and is only the right
-            # answer above 128 lanes, where the finale cannot fit
+            # ~0.9 s on the dimer vs the all-jnp "hybrid" finale's ~3 s;
+            # hybrid only above 128 lanes, where the finale cannot fit
             precision = "pallas" if nvirt <= 128 else "hybrid"
             rep.write(
                 " Fused triples kernel exceeded the VMEM budget;"

@@ -356,6 +356,12 @@ def _pick_jlen(nocc: int, nvirt: int, precision: str) -> int:
 _PLAN_CACHE: dict = {}
 
 
+# (o, v, precision) signatures whose Pallas compile failed (VMEM) —
+# XLA does not cache failures, so repeat calls would re-pay the doomed
+# server compile attempt (see triples_spatial._FUSED_BROKEN)
+_PALLAS_BROKEN: set = set()
+
+
 def _strict_plan_device(nocc: int, nvirt: int, precision: str):
     """strict_plan with the padded index triple memoized as DEVICE
     arrays: the plan is a pure function of (nocc, nvirt, precision), and
@@ -431,6 +437,8 @@ def do_ccsd_t_spinorb(
             mesh, *args, nocc=nocc, precision=precision
         )
     else:
+        if precision in ("fused", "pallas") and (nocc, nvirt, precision) in _PALLAS_BROKEN:
+            precision = "hybrid"
         ii, jj, kk, clen = _strict_plan_device(nocc, nvirt, precision)
         if ii is None:
             total = 0.0
@@ -446,7 +454,9 @@ def do_ccsd_t_spinorb(
                     raise
                 # Pallas VMEM margins are toolchain-dependent (see
                 # triples_spatial's fallback note) — degrade to the jnp
-                # finale instead of dying
+                # finale instead of dying; memoise so repeat calls skip
+                # the ~minutes-long doomed server compile attempt
+                _PALLAS_BROKEN.add((nocc, nvirt, precision))
                 rep.write(
                     " Pallas triples kernel exceeded the VMEM budget;"
                     " falling back to the hybrid chunk path."
