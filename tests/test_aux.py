@@ -102,3 +102,81 @@ def test_cache_fingerprint_roundtrip_and_mismatch(tmp_path):
     # corrupted fingerprint degrades to "no fingerprint", never raises
     path.write_text("not json")
     assert cachemeta.check(tmp_path) is True
+
+
+def test_warmup_foreground_gate():
+    """Round-4 queue-inversion fix: loader threads block on the gate until
+    the pre-CC stages open it (or join() forces it open)."""
+    import threading
+    import time as _t
+
+    from afesp_tpu import warmup
+
+    # fresh gate state for the test
+    warmup._FG_GATE.clear()
+    reached = []
+
+    def loader():
+        warmup._wait_foreground(timeout=30.0)
+        reached.append(_t.perf_counter())
+
+    t = threading.Thread(target=loader, daemon=True)
+    t.start()
+    _t.sleep(0.15)
+    assert not reached  # still gated
+    warmup.clear_for_cc()
+    t.join(5.0)
+    assert reached  # released by the foreground signal
+
+    # join() must open the gate itself (no deadlock when MP2 never ran)
+    warmup._FG_GATE.clear()
+    warmup.join()
+    assert warmup._FG_GATE.is_set()
+
+
+def test_fused_vmem_fallback_memoised(monkeypatch):
+    """A fused-kernel compile failure degrades to the slab path and is
+    memoised so later calls skip the doomed attempt entirely."""
+    import jax.numpy as jnp
+
+    from afesp_tpu.config import Config
+    from afesp_tpu.io.dat import System
+    from afesp_tpu.methods import triples_spatial as ts
+    from afesp_tpu.methods.ccsd_spatial import CCSDResult, Slices
+
+    o, nv = 4, 8
+    rng = np.random.default_rng(3)
+    r = lambda *s: jnp.asarray(rng.standard_normal(s) * 0.02)
+    v = Slices(
+        v_oovv=r(o, o, nv, nv), v_ovov=r(o, nv, o, nv),
+        v_vvov=r(nv, nv, o, nv), v_oovo=r(o, o, nv, o),
+        v_oooo=r(o, o, o, o), v_vvvv=r(nv, nv, nv, nv),
+    )
+    cc = CCSDResult(
+        e_ccsd=-0.1, t1=r(o, nv), t2=r(o, o, nv, nv), t1_diagnostic=0.0,
+        converged=True, iterations=5, slices=v,
+        t1_prev=r(o, nv), t2_prev=r(o, o, nv, nv),
+    )
+    sys_ = System(nel=2 * o, nocc=o, nvirt=nv, nbasis=o + nv)
+    cfg = Config(restricted=True)
+    cfg.ccsd_t_paren = True
+    lv = np.concatenate([-np.arange(1, o + 1)[::-1], 1.0 + np.arange(nv)])
+
+    calls = []
+    import afesp_tpu.ops.triples_pallas as tp
+
+    def boom(*a, **k):
+        calls.append(1)
+        raise RuntimeError("synthetic VMEM OOM")
+
+    monkeypatch.setattr(tp, "triples_fused_spatial", boom)
+    ts._FUSED_BROKEN.clear()
+    try:
+        res1 = ts.do_ccsd_t_spatial(sys_, cc, cfg, lv, precision="fused")
+        assert res1.precision_used in ("pallas", "hybrid")
+        assert len(calls) == 1 and (o, nv, False) in ts._FUSED_BROKEN
+        res2 = ts.do_ccsd_t_spatial(sys_, cc, cfg, lv, precision="fused")
+        assert len(calls) == 1  # memo skipped the retry
+        assert abs(res2.e_ccsd_t - res1.e_ccsd_t) < 1e-12
+    finally:
+        ts._FUSED_BROKEN.clear()
