@@ -10,9 +10,12 @@ CCSD allocates a single slice.  This module keeps the 8-fold-symmetric
 tri-packed store (n(n+1)/2 choose-2 elements, 0.93 GB at 174 bf) as the
 ONLY resident ERI form and streams everything else:
 
-  - stage 1 gathers AO blocks from the packed store on the fly (the
-    (jkl, i) operand rows are generated per block from iotas — the same
-    eri_ind arithmetic as ops/packed_eri.unpack_eri, integrals.f90:196);
+  - the packed store is half-expanded ONCE into a (npair, n^2) row
+    table (_expand_packed_rows, 3.7 GB transform-transient at 174 bf);
+    stage 1 then reads contiguous rows of it per block (r4: the
+    previous per-chunk random element re-gather cost ~26 s x 53 chunks
+    of pure gather latency — same eri_ind arithmetic as
+    ops/packed_eri.unpack_eri, integrals.f90:196);
   - the MO index is produced in ROW CHUNKS (all occupied rows in one
     call; virtual rows in `lax.scan` chunks), so the four quarter
     transforms only ever hold (chunk, n^3) temporaries;
@@ -46,24 +49,55 @@ def _pair(x, y):
     return hi * (hi + 1) // 2 + lo
 
 
-def _gather_ao_jkl_block(packed, j0, *, n, jb):
-    """AO[(j,k,l), i] rows for j in [j0, j0+jb) as one (jb*n^2, n) gather
-    from the tri-packed store.  int32 index arithmetic is exact for
-    n <= 300 (see ops/packed_eri.unpack_eri)."""
+@partial(jax.jit, static_argnames=("n",))
+def _expand_packed_rows(packed, *, n):
+    """(npair, n^2) ROW-major half-expansion of the tri-packed store:
+    P3[p, (k,l)] = packed[pair(p, pair(k,l))], built once per transform.
+
+    Why: stage 1 used to re-gather the full dense AO tensor from the
+    packed store for EVERY MO-row chunk — n^4 quasi-random element
+    gathers x 53 chunks at 174 bf, ~26 s/chunk = ~24 min of pure gather
+    latency (BENCH_XL_r04 mp2_wall).  With this table built once (npair
+    x n^2 element gathers, one chunk's worth), every later stage-1 block
+    becomes a CONTIGUOUS-ROW gather of ~240 KB rows — bandwidth-bound
+    DMA instead of latency-bound random access.  3.7 GB f64 at 174 bf,
+    alive only during the transform (peak there is ~8.5 GB without it).
+    """
+    npair = n * (n + 1) // 2
+    i = jnp.arange(n, dtype=jnp.int32)
+    kl = _pair(i[:, None], i[None, :]).reshape(-1)  # (n^2,) pair(k,l)
+    # row blocks bound the (bp, n^2) i32 index + f64 gather temporaries
+    bp = max(
+        d for d in range(1, npair + 1)
+        if npair % d == 0 and d * n * n <= 2.1e8
+    )
+
+    def block(p0):
+        rows = p0 + jnp.arange(bp, dtype=jnp.int32)
+        return packed[_pair(rows[:, None], kl[None, :])]
+
+    out = jax.lax.map(block, jnp.arange(npair // bp, dtype=jnp.int32) * bp)
+    return out.reshape(npair, n * n)
+
+
+def _gather_ao_jkl_block(P3, j0, *, n, jb):
+    """AO[(j,k,l), i] rows for j in [j0, j0+jb) from the half-expanded
+    row table: gather jb*n CONTIGUOUS P3 rows (pair(i,j), full kl), then
+    transpose the block to the [(j,k,l), i] GEMM layout.  int32 index
+    arithmetic is exact for n <= 300 (see ops/packed_eri.unpack_eri)."""
     i = jnp.arange(n, dtype=jnp.int32)
     j = j0 + jnp.arange(jb, dtype=jnp.int32)
-    kl = _pair(i[:, None], i[None, :]).reshape(-1)  # (n^2,) pair(k,l)
     pij = _pair(i[None, :], j[:, None])  # (jb, n) pair(i,j)
-    idx = _pair(pij[:, None, :], kl[None, :, None])  # (jb, n^2, n) quad
-    return packed[idx].reshape(jb * n * n, n)
+    G = P3[pij.reshape(-1)].reshape(jb, n, n, n)  # (j, i, k, l)
+    return jnp.transpose(G, (0, 2, 3, 1)).reshape(jb * n * n, n)
 
 
-def _stage1_from_packed(packed, CBr, *, n, jb):
-    """out[(j,k,l), p] = sum_i AO[i,j,k,l] C[p,i], gathering AO blocks of
-    jb leading-j planes at a time (jb | n)."""
+def _stage1_from_packed(P3, CBr, *, n, jb):
+    """out[(j,k,l), p] = sum_i AO[i,j,k,l] C[p,i], reading AO blocks of
+    jb leading-j planes at a time (jb | n) from the row table."""
 
     def block(j0):
-        Ab = _gather_ao_jkl_block(packed, j0, n=n, jb=jb)
+        Ab = _gather_ao_jkl_block(P3, j0, n=n, jb=jb)
         return exact_gemm(Ab, B_dig=CBr)
 
     j0s = jnp.arange(n // jb, dtype=jnp.int32) * jb
@@ -93,14 +127,14 @@ def _stage_dense(T, CB, *, nb):
     return out.reshape(*rest_shape, out.shape[-1])
 
 
-def _chem_rows(packed, CBr, CB, *, n, jb, nb):
+def _chem_rows(P3, CBr, CB, *, n, jb, nb):
     """Chemist-order MO chunk (nr, n, n, n) = (p q|r s) for the MO rows p
     selected by CBr (digitized C rows); q,r,s run over ALL MOs.
 
     Index cycling (mp2.f90:320-386 reimagined): each stage contracts the
     leading AO index and emits its MO partner trailing, so four stages
     land in (p, q, r, s) order with no full-tensor transpose."""
-    t = _stage1_from_packed(packed, CBr, n=n, jb=jb)  # (j,k,l,p)
+    t = _stage1_from_packed(P3, CBr, n=n, jb=jb)  # (j,k,l,p)
     t = _stage_dense(t, CB, nb=nb)  # (k,l,p,q)
     t = _stage_dense(t, CB, nb=nb)  # (l,p,q,r)
     return _stage_dense(t, CB, nb=nb)  # (p,q,r,s)
@@ -116,9 +150,9 @@ def _pslice(chem, x, y, z):
 
 
 @partial(jax.jit, static_argnames=("n", "nocc", "jb", "nb"))
-def _occ_slices(packed, CBo, CB, *, n, nocc, jb, nb):
+def _occ_slices(P3, CBo, CB, *, n, nocc, jb, nb):
     """The four occupied-leading slices in one program."""
-    chem = _chem_rows(packed, CBo, CB, n=n, jb=jb, nb=nb)
+    chem = _chem_rows(P3, CBo, CB, n=n, jb=jb, nb=nb)
     o = slice(None, nocc)
     v = slice(nocc, None)
     return (
@@ -130,7 +164,7 @@ def _occ_slices(packed, CBo, CB, *, n, nocc, jb, nb):
 
 
 @partial(jax.jit, static_argnames=("n", "nocc", "nr", "jb", "nb"))
-def _virt_chunk(packed, C, c, *, n, nocc, nr, jb, nb):
+def _virt_chunk(P3, C, c, *, n, nocc, nr, jb, nb):
     """One MO row chunk (nr virtual rows starting at c*nr) of the two
     virtual-leading slices, as 2-D matricisations (vvov rows = e, vvvv
     rows = (e,f)).
@@ -148,7 +182,7 @@ def _virt_chunk(packed, C, c, *, n, nocc, nr, jb, nb):
         C, (jnp.int32(nocc) + c * jnp.int32(nr), jnp.int32(0)), (nr, n)
     )
     CBr = digitize_B(rows.T)
-    chem = _chem_rows(packed, CBr, CB, n=n, jb=jb, nb=nb)
+    chem = _chem_rows(P3, CBr, CB, n=n, jb=jb, nb=nb)
     o = slice(None, nocc)
     v = slice(nocc, None)
     return (
@@ -193,8 +227,11 @@ def ao_to_mo_slices(packed_dev, C, *, n: int, nocc: int, digit_L: int | None = N
     nb = n
     CB = digitize_B(C.T)
     CBo = digitize_B(C[:nocc].T)
+    # one-time half-expansion: every stage-1 below reads contiguous rows
+    # of this table instead of re-gathering the packed store per chunk
+    P3 = _expand_packed_rows(packed_dev, n=n)
     oovv, ovov, oovo, oooo = _occ_slices(
-        packed_dev, CBo, CB, n=n, nocc=nocc, jb=jb, nb=nb
+        P3, CBo, CB, n=n, nocc=nocc, jb=jb, nb=nb
     )
     nr = _pick_chunk(nvirt, n)
     dig = (
@@ -208,7 +245,7 @@ def ao_to_mo_slices(packed_dev, C, *, n: int, nocc: int, digit_L: int | None = N
     vvvv_blocks = []
     for c in range(nvirt // nr):
         vvovb, vvvvb = _virt_chunk(
-            packed_dev, C, jnp.int32(c), n=n, nocc=nocc, nr=nr, jb=jb, nb=nb
+            P3, C, jnp.int32(c), n=n, nocc=nocc, nr=nr, jb=jb, nb=nb
         )
         vvov_blocks.append(vvovb)
         if dig is None:
@@ -219,6 +256,7 @@ def ao_to_mo_slices(packed_dev, C, *, n: int, nocc: int, digit_L: int | None = N
             del vvvvb  # the f64 chunk dies before the next one is built
             limb_blocks.append(limbs)
             scale_blocks.append(s)
+    del P3  # 3.7 GB at 174 bf — dead before the big concats/slices form
     vvov2 = jnp.concatenate(vvov_blocks) if len(vvov_blocks) > 1 else vvov_blocks[0]
     del vvov_blocks
     slices = Slices(
