@@ -60,8 +60,16 @@ def _expand_packed_rows(packed, *, n):
     latency (BENCH_XL_r04 mp2_wall).  With this table built once (npair
     x n^2 element gathers, one chunk's worth), every later stage-1 block
     becomes a CONTIGUOUS-ROW gather of ~240 KB rows — bandwidth-bound
-    DMA instead of latency-bound random access.  3.7 GB f64 at 174 bf,
-    alive only during the transform (peak there is ~8.5 GB without it).
+    DMA instead of latency-bound random access.
+
+    Returned as an explicit (hi, lo) f32 SPLIT PAIR, not one f64 array:
+    this backend X64-splits a whole f64 operand at every gather inside a
+    program, which would add +3.7 GB of transient per chunk program at
+    174 bf (the r4 first attempt OOM'd exactly there).  hi+lo
+    reconstructs the value to ~2^-48 relative — three orders below the
+    digit-GEMM transform's own 2^-49-of-scale contract and the 1e-12
+    validation (tests/test_split_transform.py).  2 x 1.85 GB at 174 bf,
+    alive only during the transform.
     """
     npair = n * (n + 1) // 2
     i = jnp.arange(n, dtype=jnp.int32)
@@ -71,24 +79,33 @@ def _expand_packed_rows(packed, *, n):
         d for d in range(1, npair + 1)
         if npair % d == 0 and d * n * n <= 2.1e8
     )
+    f32 = jnp.float32
 
     def block(p0):
         rows = p0 + jnp.arange(bp, dtype=jnp.int32)
-        return packed[_pair(rows[:, None], kl[None, :])]
+        vals = packed[_pair(rows[:, None], kl[None, :])]
+        hi = vals.astype(f32)
+        lo = (vals - hi.astype(vals.dtype)).astype(f32)
+        return hi, lo
 
-    out = jax.lax.map(block, jnp.arange(npair // bp, dtype=jnp.int32) * bp)
-    return out.reshape(npair, n * n)
+    hi, lo = jax.lax.map(
+        block, jnp.arange(npair // bp, dtype=jnp.int32) * bp
+    )
+    return hi.reshape(npair, n * n), lo.reshape(npair, n * n)
 
 
 def _gather_ao_jkl_block(P3, j0, *, n, jb):
     """AO[(j,k,l), i] rows for j in [j0, j0+jb) from the half-expanded
-    row table: gather jb*n CONTIGUOUS P3 rows (pair(i,j), full kl), then
-    transpose the block to the [(j,k,l), i] GEMM layout.  int32 index
-    arithmetic is exact for n <= 300 (see ops/packed_eri.unpack_eri)."""
+    row table: gather jb*n CONTIGUOUS rows of the two f32 split planes
+    (pair(i,j), full kl), reconstruct f64, then transpose the block to
+    the [(j,k,l), i] GEMM layout.  int32 index arithmetic is exact for
+    n <= 300 (see ops/packed_eri.unpack_eri)."""
+    P3_hi, P3_lo = P3
     i = jnp.arange(n, dtype=jnp.int32)
     j = j0 + jnp.arange(jb, dtype=jnp.int32)
-    pij = _pair(i[None, :], j[:, None])  # (jb, n) pair(i,j)
-    G = P3[pij.reshape(-1)].reshape(jb, n, n, n)  # (j, i, k, l)
+    pij = _pair(i[None, :], j[:, None]).reshape(-1)  # (jb*n,) pair(i,j)
+    G = P3_hi[pij].astype(jnp.float64) + P3_lo[pij]
+    G = G.reshape(jb, n, n, n)  # (j, i, k, l)
     return jnp.transpose(G, (0, 2, 3, 1)).reshape(jb * n * n, n)
 
 
@@ -202,7 +219,8 @@ def _pick_chunk(nvirt: int, n: int, budget_bytes: float = 4e8) -> int:
     return max(divs)
 
 
-def ao_to_mo_slices(packed_dev, C, *, n: int, nocc: int, digit_L: int | None = None):
+def ao_to_mo_slices(packed_dev, C, *, n: int, nocc: int, digit_L: int | None = None,
+                    free_packed=None):
     """Tri-packed AO ERI (device) + MO coefficients C (rows = MO,
     sys%canon_coeff layout) -> (Slices with v_vvvv=None, vvvv_form),
     f64 throughout except that nothing dense ever materialises (see
@@ -230,6 +248,12 @@ def ao_to_mo_slices(packed_dev, C, *, n: int, nocc: int, digit_L: int | None = N
     # one-time half-expansion: every stage-1 below reads contiguous rows
     # of this table instead of re-gathering the packed store per chunk
     P3 = _expand_packed_rows(packed_dev, n=n)
+    if free_packed is not None:
+        # the table supersedes the packed store for the whole transform;
+        # drop the 0.93 GB (at 174 bf) source now (the runtime keeps the
+        # buffer alive until the in-flight expansion completes)
+        del packed_dev
+        free_packed()
     oovv, ovov, oovo, oooo = _occ_slices(
         P3, CBo, CB, n=n, nocc=nocc, jb=jb, nb=nb
     )

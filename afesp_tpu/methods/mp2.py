@@ -278,8 +278,10 @@ def do_mp2_spatial(
         slices, vvvv_B = ao_to_mo_slices(
             ints.packed_on_device(), jnp.asarray(hf.coeff), n=n, nocc=nocc,
             digit_L=5,
+            # the transform frees the packed store the moment its row
+            # table supersedes it (HBM headroom for the limb accumulation)
+            free_packed=ints.free_device_packed,
         )
-        ints.free_device_packed()
 
         rep.write(" Calculating MP2 energy...")
         lv = jnp.asarray(hf.levels)
