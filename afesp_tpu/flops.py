@@ -58,17 +58,20 @@ def spinorb_ccsd_iteration_flops(o: int, v: int, precision: str = "f64") -> floa
     dense-algorithm count.
 
     precision="hybrid" counts each contraction at its executed cost:
-    every matmul with an ERI operand runs as ONE dense integer-digit
-    bf16 MXU GEMM = 10 digit-pair products over the DENSE operands
-    (no Sz blocking; exact_gemm at L=5/maxdeg=6), so the reported
-    TFLOP/s is honest for the mode the headline bench runs."""
+    every matmul with an ERI operand runs as dense integer-digit bf16
+    MXU GEMMs = digit_pairs(5, 6) = 15 pair products over the DENSE
+    operands (no Sz blocking; exact_gemm at L=5/maxdeg=6), so the
+    reported TFLOP/s is honest for the mode the headline bench runs
+    (was hard-coded 10 — the round-4 advisor's pair-count finding
+    applied here too)."""
     hybrid = precision in ("hybrid", "pallas", "fused")
-    # `h`: digit-GEMM contractions — 10 bf16 digit-pair products over
+    p = float(digit_pairs(5, 6))
+    # `h`: digit-GEMM contractions — 15 bf16 digit-pair products over
     # dense operands in hybrid, Sz-blocked fraction of the MACs in f64.
-    h = (lambda spec: 10.0) if hybrid else sz_fraction
+    h = (lambda spec: p) if hybrid else sz_fraction
     f = h  # the F intermediates took the digit route too
     # terms evaluated DENSE in f64 mode (plain es) but digit in hybrid
-    d = (lambda spec: 10.0) if hybrid else (lambda spec: 1.0)
+    d = (lambda spec: p) if hybrid else (lambda spec: 1.0)
     mac = 0.0
     # F intermediates
     mac += f("mf,mafe->ae") * v * v * o * v
@@ -96,8 +99,8 @@ def spinorb_ccsd_iteration_flops(o: int, v: int, precision: str = "f64") -> floa
     mac += h("ie,ejab->ijab") * o * o * v**3
     mac += o**3 * v * v             # mi,mjab
     mac += h("mnij,mnab->ijab") * o**4 * v * v
-    # blocked tau*vvvv: 3 spin-block GEMMs; x10 digit products in hybrid
-    mac += (30 if hybrid else 3) * o * o * (v // 2) ** 4
+    # blocked tau*vvvv: 3 spin-block GEMMs; x15 digit pairs in hybrid
+    mac += (3 * p if hybrid else 3) * o * o * (v // 2) ** 4
     mac += h("ijef,maef->ijma") * o**3 * v**3  # G
     mac += 2 * o**3 * v * v         # G*t1 (two terms)
     mac += o * o * v * v            # energy reduction
@@ -129,19 +132,34 @@ def ao_to_mo_flops(n: int) -> float:
     return 2.0 * 4 * n**5
 
 
-def spatial_ccsd_iteration_flops(o: int, v: int, pairs: int = 21) -> float:
+def digit_pairs(L: int, maxdeg: int = 7) -> int:
+    """bf16 MXU passes per exact_gemm contraction: digit pairs (i, j)
+    with i, j < L and (i+1)+(j+1) <= maxdeg (ops/exact_gemm.py).
+    L=6/maxdeg=7 -> 21, L=5 -> 19, L=4 -> 15."""
+    return sum(
+        1 for i in range(L) for j in range(L) if i + j + 2 <= maxdeg
+    )
+
+
+def spatial_ccsd_iteration_flops(o: int, v: int) -> float:
     """One spatial (Piecuch) CCSD iteration as EXECUTED on the large-tier
     digit-GEMM path, dominant contractions only (a lower bound on issued
     MXU work — small o^2v^2-scale terms and elementwise tails are
-    dropped).  `pairs` is the digit-pair GEMM count per contraction:
-    the external-slices solve runs exact_gemm at L=6/maxdeg=7 = 21 bf16
-    pair GEMMs per matmul (ops/exact_gemm.py), each a real MXU pass —
-    utilization vs MEASURED_BF16 is the honest dashboard number."""
-    mac = 1.0 * o * o * v**4         # c_oovv x v_vvvv (ccsd.f90:1669)
-    mac += 6.0 * o**3 * v**3         # I_ovov/I_voov/x_voov family
-    mac += 2.0 * o**2 * v**3         # I_vv / vovv' contractions
-    mac += 2.0 * o**4 * v * v        # I_oooo + its T2 consumer
-    return 2.0 * mac * pairs
+    dropped).  Each contraction is weighted by ITS digit-pair GEMM count
+    — ccsd_spatial._DIG_L runs the O(o v^3)-scale v_vvov matricisation
+    sites at L=5/L=4 (fewer pairs) while the heavyweights hold
+    L=6/maxdeg=7 = 21 bf16 pair GEMMs (ops/exact_gemm.py), each a real
+    MXU pass — so utilization vs MEASURED_BF16 is the honest dashboard
+    number (round-4 advisor finding: a single global pairs=21 overstated
+    issued work at the mixed-L sites)."""
+    p6, p5, p4 = digit_pairs(6), digit_pairs(5), digit_pairs(4)
+    mac = p6 * 1.0 * o * o * v**4    # c_oovv x v_vvvv (ccsd.f90:1669)
+    mac += p6 * 6.0 * o**3 * v**3    # I_ovov/I_voov/x_voov family
+    # I_vv / vovv' contractions: the L=5 "efia,jkef" + L=4 "efma,mief"
+    # v_vvov matricisations (_DIG_L)
+    mac += (p5 + p4) * 1.0 * o**2 * v**3
+    mac += p6 * 2.0 * o**4 * v * v   # I_oooo + its T2 consumer
+    return 2.0 * mac
 
 
 def spatial_triples_flops(

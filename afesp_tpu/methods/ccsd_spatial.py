@@ -288,7 +288,7 @@ _DIG_CONST_SPECS = (
     ("miea,me->ia", "v_oovv"),
     ("maie,me->ia", "v_ovov"),
     # the dominant O(o^2 v^4) contraction: digit GEMMs replace the hi/lo
-    # split-f32 route here — ~the same MXU passes (15 bf16 vs 3 six-pass
+    # split-f32 route here — ~the same MXU passes (21 bf16 vs 3 six-pass
     # f32 products) but 2^-42-of-scale instead of the split path's
     # measured 7.3e-9 fixed-point noise on the stretched-N2 golden
     ("efab,ijef->ijab", "v_vvvv"),
@@ -313,7 +313,7 @@ _DIG_CONST_SPECS_B = (
 )
 
 
-# Digit depth per prechunked const: L=6/maxdeg=7 (15 digit-pair GEMMs)
+# Digit depth per prechunked const: L=6/maxdeg=7 (21 digit-pair GEMMs)
 # default — with twelve contractions converted, the compounded truncation
 # shifts the stretched-N2 converged energy by 5.1e-8 at L=4 and 8.7e-9 at
 # L=5, so L=6 buys the 1e-8 contract a comfortable margin while staying
@@ -508,8 +508,11 @@ def _cr_vvvv_term_from_B(t1, vvvv_B, *, nv: int, streamed: bool = True):
     contraction over e alone doesn't fit that layout, so it is recast as
     one (o*v, v^2) x (v^2, v^2) digit GEMM with the Kronecker lhs
     A[(i,c),(e,c')] = t1[i,e] * delta_{cc'}: out[(i,c),(b,a)] then equals
-    the wanted sum exactly.  ~10 bf16 digit GEMMs (maxdeg=6, accuracy
-    ~2^-35 of scale — tighter than the f32 einsum this replaces); under a
+    the wanted sum exactly.  15 bf16 digit-pair GEMMs (maxdeg=6 at L=6,
+    accuracy ~2^-35 of scale — tighter than the f32 einsum this
+    replaces; t1 digitizes from f64, and the Kronecker product with the
+    0/1 identity is exact per digit plane, so no f32 rounding of t1
+    enters — round-4 advisor finding); under a
     mesh the limbs' chunk axis is sharded and GSPMD partitions the pair
     GEMMs, psum-ing the cross-chunk combine (see
     parallel/ccsd_shard.ccsd_solve_sharded_ext — same mechanism).
@@ -524,10 +527,10 @@ def _cr_vvvv_term_from_B(t1, vvvv_B, *, nv: int, streamed: bool = True):
     from ..ops.exact_gemm import exact_gemm, gemm_B_pre_streamed
 
     o = t1.shape[0]
-    eye = jnp.eye(nv, dtype=jnp.float32)
-    A = (
-        t1.astype(jnp.float32)[:, None, :, None] * eye[None, :, None, :]
-    ).reshape(o * nv, nv * nv)
+    eye = jnp.eye(nv, dtype=t1.dtype)
+    A = (t1[:, None, :, None] * eye[None, :, None, :]).reshape(
+        o * nv, nv * nv
+    )
     if streamed:
         out = gemm_B_pre_streamed(A, vvvv_B, maxdeg=6)
     else:
@@ -630,9 +633,16 @@ def do_ccsd_spatial(
     t_solve = time.perf_counter()
     if external and mesh is not None:
         # memory-scaling multi-chip: the digit-limb v_vvvv shards over
-        # its chunk axis (1/n_dev of the dominant operand per device)
-        from ..parallel.ccsd_shard import ccsd_solve_sharded_ext
+        # its chunk axis (1/n_dev of the dominant operand per device).
+        # Shard HERE (shard_vvvv_limbs is idempotent — the solve wrapper
+        # re-puts to the same sharding) so the CR-term GEMM below reuses
+        # the SAME sharded copy the solve ran on.
+        from ..parallel.ccsd_shard import (
+            ccsd_solve_sharded_ext,
+            shard_vvvv_limbs,
+        )
 
+        vvvv_B = shard_vvvv_limbs(mesh, vvvv_B)
         state, n_iter, done, hist_e, hist_rms = ccsd_solve_sharded_ext(
             mesh, solver, state, v, D_ia, D_ijab, v.v_oovv, e0,
             jnp.float64(cfg.ccsd_e_tol), jnp.float64(cfg.ccsd_t_tol),
@@ -740,8 +750,22 @@ def do_ccsd_spatial(
         # v_vvvv (3.9 GB padded at 174 bf) per device; the (c,i,a,b)
         # result is o*v^3 f64 — 16x smaller — and under a mesh the limbs'
         # chunk axis is sharded, so GSPMD partitions the digit GEMMs and
-        # psums the cross-chunk reduction (per-device limb bytes 1/n_dev).
-        cr_term = _cr_vvvv_term_from_B(t1, vvvv_B, nv=nvirt)
+        # psums the cross-chunk reduction (per-device limb bytes 1/n_dev);
+        # the mesh path therefore uses the FUSED form (streamed=False)
+        # over the same sharded limb copy the solve ran on — a fori_loop
+        # stream would serialise the sharded chunk axis.
+        t1_cr = t1
+        if mesh is not None:
+            # the solve may have run on a SUB-mesh (nvirt-divisibility,
+            # _fitting_mesh) while the limbs shard over the full mesh:
+            # replicate the (tiny) t1 onto the full device set so the
+            # jitted GEMM sees one consistent mesh
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            t1_cr = jax.device_put(t1, NamedSharding(mesh, P()))
+        cr_term = _cr_vvvv_term_from_B(
+            t1_cr, vvvv_B, nv=nvirt, streamed=mesh is None
+        )
 
     # amplitudes stay on device (see ccsd_spinorb.py — the tunnel's
     # device->host readback is ~30 MB/s)

@@ -437,7 +437,12 @@ def do_ccsd_t_spinorb(
             mesh, *args, nocc=nocc, precision=precision
         )
     else:
-        if precision in ("fused", "pallas") and (nocc, nvirt, precision) in _PALLAS_BROKEN:
+        from .. import pallas_memo
+
+        if precision in ("fused", "pallas") and (
+            (nocc, nvirt, precision) in _PALLAS_BROKEN
+            or pallas_memo.contains("spinorb", (nocc, nvirt, precision))
+        ):
             precision = "hybrid"
         ii, jj, kk, clen = _strict_plan_device(nocc, nvirt, precision)
         if ii is None:
@@ -449,16 +454,21 @@ def do_ccsd_t_spinorb(
                         *args, ii, jj, kk, clen=clen, precision=precision,
                     )
                 )
-            except Exception:
-                if precision not in ("fused", "pallas"):
-                    raise
+            except Exception as e:
+                if precision not in ("fused", "pallas") or (
+                    not pallas_memo.is_vmem_error(e)
+                ):
+                    raise  # only a VMEM failure may degrade the tier
                 # Pallas VMEM margins are toolchain-dependent (see
                 # triples_spatial's fallback note) — degrade to the jnp
-                # finale instead of dying; memoise so repeat calls skip
-                # the ~minutes-long doomed server compile attempt
+                # finale instead of dying; memoise (in-process AND next
+                # to the compile cache) so repeat calls and LATER
+                # PROCESSES skip the ~minutes-long doomed attempt
                 _PALLAS_BROKEN.add((nocc, nvirt, precision))
+                pallas_memo.add("spinorb", (nocc, nvirt, precision))
                 rep.write(
-                    " Pallas triples kernel exceeded the VMEM budget;"
+                    " Pallas triples kernel exceeded the VMEM budget"
+                    f" ({pallas_memo.brief(e)});"
                     " falling back to the hybrid chunk path."
                 )
                 precision = "hybrid"

@@ -139,6 +139,19 @@ def _pad_chunk_axis(vvvv_B, mult: int):
     return chunks, s
 
 
+def shard_vvvv_limbs(mesh: Mesh, vvvv_B):
+    """Pad + chunk-shard the digit-limb v_vvvv over the mesh's first
+    axis.  Idempotent: device_put to the sharding an array already
+    carries is a no-op, so callers may pre-shard (do_ccsd_spatial needs
+    the SAME sharded copy for both the solve and the CR-term GEMM — a
+    fresh unsharded copy there dispatched against sharded t1, the
+    round-4 advisor's medium finding)."""
+    vvvv_B = _pad_chunk_axis(vvvv_B, mesh.devices.size)
+    ch = NamedSharding(mesh, P(mesh.axis_names[0], None, None))
+    chunks, s = vvvv_B
+    return [jax.device_put(c, ch) for c in chunks], jax.device_put(s, ch)
+
+
 def ccsd_solve_sharded_ext(
     mesh: Mesh, solver, state: CCState, v, D_ia, D_ijab, oovv,
     e0, e_tol, t_tol, vvvv_B, *, nerr: int, maxiter: int
@@ -152,7 +165,6 @@ def ccsd_solve_sharded_ext(
     the path that admits a problem one chip's HBM cannot hold — the
     reference has no analogue at any scale (its packed store caps near
     99 bf, integrals.f90:10-21)."""
-    n_dev = mesh.devices.size
     sub = _fitting_mesh(mesh, state.t2.shape[3])
     if sub is None:
         sub = Mesh(mesh.devices.ravel()[:1], mesh.axis_names)
@@ -161,13 +173,7 @@ def ccsd_solve_sharded_ext(
     )
     state = shard_cc_state(sub, state._replace(t1=t1, t2=t2))
     oovv = jax.device_put(oovv, _on_axis(sub, 3, 4))
-    vvvv_B = _pad_chunk_axis(vvvv_B, n_dev)
-    chunk_sh = NamedSharding(mesh, P(mesh.axis_names[0], None, None))
-    chunks, s = vvvv_B
-    vvvv_B = (
-        [jax.device_put(c, chunk_sh) for c in chunks],
-        jax.device_put(s, chunk_sh),
-    )
+    vvvv_B = shard_vvvv_limbs(mesh, vvvv_B)
     return solver(
         state, vs, D_ia, D_ijab, oovv, e0, e_tol, t_tol, vvvv_B,
         nerr=nerr, maxiter=maxiter,

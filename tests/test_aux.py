@@ -170,7 +170,10 @@ def test_fused_vmem_fallback_memoised(monkeypatch):
         raise RuntimeError("synthetic VMEM OOM")
 
     monkeypatch.setattr(tp, "triples_fused_spatial", boom)
+    from afesp_tpu import pallas_memo
+
     ts._FUSED_BROKEN.clear()
+    pallas_memo._reset_for_tests()
     try:
         res1 = ts.do_ccsd_t_spatial(sys_, cc, cfg, lv, precision="fused")
         assert res1.precision_used in ("pallas", "hybrid")
@@ -180,3 +183,93 @@ def test_fused_vmem_fallback_memoised(monkeypatch):
         assert abs(res2.e_ccsd_t - res1.e_ccsd_t) < 1e-12
     finally:
         ts._FUSED_BROKEN.clear()
+        pallas_memo._reset_for_tests()
+
+
+def test_non_vmem_pallas_failure_reraises(monkeypatch):
+    """A kernel failure that is NOT a VMEM/resource error must surface,
+    not silently degrade to a slower tier with a misleading message
+    (round-4 advisor finding)."""
+    import pytest
+
+    import afesp_tpu.ops.triples_pallas as tp
+    from afesp_tpu import pallas_memo
+    from afesp_tpu.config import Config
+    from afesp_tpu.io.dat import System
+    from afesp_tpu.methods import triples_spatial as ts
+    from afesp_tpu.methods.ccsd_spatial import CCSDResult, Slices
+    import jax.numpy as jnp
+
+    o, nv = 4, 8
+    rng = np.random.default_rng(4)
+    r = lambda *s: jnp.asarray(rng.standard_normal(s) * 0.02)
+    v = Slices(
+        v_oovv=r(o, o, nv, nv), v_ovov=r(o, nv, o, nv),
+        v_vvov=r(nv, nv, o, nv), v_oovo=r(o, o, nv, o),
+        v_oooo=r(o, o, o, o), v_vvvv=r(nv, nv, nv, nv),
+    )
+    cc = CCSDResult(
+        e_ccsd=-0.1, t1=r(o, nv), t2=r(o, o, nv, nv), t1_diagnostic=0.0,
+        converged=True, iterations=5, slices=v,
+        t1_prev=r(o, nv), t2_prev=r(o, o, nv, nv),
+    )
+    sys_ = System(nel=2 * o, nocc=o, nvirt=nv, nbasis=o + nv)
+    cfg = Config(restricted=True)
+    cfg.ccsd_t_paren = True
+    lv = np.concatenate([-np.arange(1, o + 1)[::-1], 1.0 + np.arange(nv)])
+
+    def boom(*a, **k):
+        raise TypeError("shape mismatch: a genuine bug, not a memory wall")
+
+    monkeypatch.setattr(tp, "triples_fused_spatial", boom)
+    ts._FUSED_BROKEN.clear()
+    pallas_memo._reset_for_tests()
+    try:
+        with pytest.raises(TypeError, match="genuine bug"):
+            ts.do_ccsd_t_spatial(sys_, cc, cfg, lv, precision="fused")
+        assert (o, nv, False) not in ts._FUSED_BROKEN
+    finally:
+        ts._FUSED_BROKEN.clear()
+        pallas_memo._reset_for_tests()
+
+
+def test_pallas_failure_memo_persists(monkeypatch, tmp_path):
+    """A VMEM-failure signature written by one process is honoured by
+    the next (fresh in-process state), keyed by the toolchain env —
+    the cross-process half of the fused-fallback memo (round-4 verdict,
+    missing #3: every fresh dimer process re-paid a ~150 s doomed
+    server AOT attempt)."""
+    from afesp_tpu import pallas_memo
+
+    monkeypatch.setattr(pallas_memo, "cache_dir", lambda: tmp_path)
+    monkeypatch.setattr(pallas_memo, "_persist_ok", lambda: True)
+    monkeypatch.setattr(pallas_memo, "_env_key", lambda: "test-env")
+    pallas_memo._reset_for_tests()
+    try:
+        assert not pallas_memo.contains("fused_spatial", (14, 116, True))
+        pallas_memo.add("fused_spatial", (14, 116, True))
+        assert (tmp_path / pallas_memo.MEMO_NAME).exists()
+
+        # simulate a fresh process: drop the in-memory state, re-read
+        pallas_memo._reset_for_tests()
+        assert pallas_memo.contains("fused_spatial", (14, 116, True))
+        assert not pallas_memo.contains("fused_spatial", (14, 117, True))
+        assert not pallas_memo.contains("spinorb", (14, 116, True))
+
+        # a different toolchain env must NOT inherit the failure
+        monkeypatch.setattr(pallas_memo, "_env_key", lambda: "other-env")
+        pallas_memo._reset_for_tests()
+        assert not pallas_memo.contains("fused_spatial", (14, 116, True))
+    finally:
+        pallas_memo._reset_for_tests()
+
+
+def test_vmem_error_classifier():
+    from afesp_tpu import pallas_memo
+
+    assert pallas_memo.is_vmem_error(RuntimeError("RESOURCE_EXHAUSTED: ..."))
+    assert pallas_memo.is_vmem_error(
+        RuntimeError("Mosaic failed: scoped vmem request exceeds the limit")
+    )
+    assert not pallas_memo.is_vmem_error(TypeError("dtype mismatch f32/i32"))
+    assert "dtype mismatch" in pallas_memo.brief(TypeError("dtype mismatch"))
