@@ -489,8 +489,16 @@ _SPATIAL_PLAN_CACHE: dict = {}
 # compile FAILURES are not cached by XLA, so without this memo every
 # do_ccsd_t_spatial call would re-pay a ~150 s server compile attempt
 # before falling back (measured: the dimer's "warm" (T) wall read 296 s
-# of which ~1 s was the actual fallback kernel)
+# of which ~1 s was the actual fallback kernel).  The in-process set is
+# backed by a persistent store next to the compile cache
+# (pallas_memo.py) so LATER PROCESSES skip the doomed attempt too.
 _FUSED_BROKEN: set = set()
+
+
+def _fused_is_broken(sig: tuple) -> bool:
+    from .. import pallas_memo
+
+    return sig in _FUSED_BROKEN or pallas_memo.contains("fused_spatial", sig)
 
 
 def _spatial_plan_device(nocc: int):
@@ -528,14 +536,17 @@ def do_ccsd_t_spatial(
             # (fused_ok=true, 0.36 s vs 0.95 s for the slab+finale
             # "pallas" path at identical 1e-8 accuracy, BENCH_LARGE r2);
             # "pallas" under a mesh (the sharded path shards the slab
-            # kernel).  Above the kernels' 128-lane virtual panel BOTH
-            # Pallas tiers stay "hybrid": the finale's per-(j,k) v^3
-            # VMEM cube pads past the 128 MB budget at nvirt=159
-            # (measured 191 MB reserved, r4 trimer attempt 3) — the
-            # jnp slab finale at jlen=1 fits HBM instead.
+            # kernel).  Above the kernels' 128-lane virtual panel the
+            # whole-cube tiers cannot fit (the finale's per-(j,k) v^3
+            # VMEM cube pads past the 128 MB budget at nvirt=159 —
+            # measured 191 MB reserved, r4 trimer attempt 3); the r5
+            # "tiled" tier (ops/triples_tiled.py) removes the cliff by
+            # tiling the v^3 window over PA-row a-panels, so nvirt>128
+            # runs Pallas too instead of the 1.1%-utilisation jnp slab
+            # finale (BENCH_XL_r04's 50.3 s (T) stage).
             # An explicit ccsd_precision="f64" is respected.
             if sys_.nvirt > 128:
-                precision = "hybrid"
+                precision = "tiled" if mesh is None else "hybrid"
             else:
                 precision = "fused" if mesh is None else "pallas"
 
@@ -573,12 +584,16 @@ def do_ccsd_t_spatial(
 
     targs = (t1, t2, v.v_vvov, v.v_oovo, v.v_oovv, e_o, e_v,
              I_vovv_pp, I_ooov_pp)
-    if (
-        precision == "fused"
-        and (nocc, nvirt, doing_CR) in _FUSED_BROKEN
-    ):
+    if precision == "fused" and _fused_is_broken((nocc, nvirt, doing_CR)):
         precision = "pallas" if nvirt <= 128 else "hybrid"
         jlen = pick_spatial_jlen(nocc, nvirt, precision, i_block)
+    if precision in ("pallas", "tiled"):
+        from .. import pallas_memo
+
+        kind = "pallas_spatial" if precision == "pallas" else "tiled_spatial"
+        if pallas_memo.contains(kind, (nocc, nvirt, doing_CR)):
+            precision = "hybrid"
+            jlen = pick_spatial_jlen(nocc, nvirt, precision, i_block)
     totals = None
     if precision == "fused" and mesh is None:
         # sorted-triples fully-fused kernel (ops/triples_pallas).  The
@@ -607,16 +622,50 @@ def do_ccsd_t_spatial(
             )
             s = jax.block_until_ready(s)  # surface a compile/VMEM error HERE
             totals = (s[0], s[0] + s[1], s[2], s[2] + s[3], s[4], s[4] + s[5])
-        except Exception:
+        except Exception as e:
+            from .. import pallas_memo
+
+            if not pallas_memo.is_vmem_error(e):
+                raise  # a real bug must not masquerade as a VMEM degrade
             _FUSED_BROKEN.add((nocc, nvirt, doing_CR))
+            pallas_memo.add("fused_spatial", (nocc, nvirt, doing_CR))
             # prefer the slab + Pallas-finale tier (its per-(j,k) v^3
             # window is exactly 128 lanes at nvirt <= 128, and it ran
             # ~0.9 s on the dimer vs the all-jnp "hybrid" finale's ~3 s;
             # hybrid only above 128 lanes, where the finale cannot fit
             precision = "pallas" if nvirt <= 128 else "hybrid"
             rep.write(
-                " Fused triples kernel exceeded the VMEM budget;"
+                " Fused triples kernel exceeded the VMEM budget"
+                f" ({pallas_memo.brief(e)});"
                 f" falling back to the {precision} slab finale."
+            )
+            jlen = pick_spatial_jlen(nocc, nvirt, precision, i_block)
+    if totals is None and precision == "tiled" and mesh is None:
+        # r5 tier: sorted-triple batched GEMM cubes + the a-panel-tiled
+        # Pallas M-finale (ops/triples_tiled.py) — the nvirt > 128 path
+        # with no whole-cube VMEM window
+        from ..ops.triples_tiled import triples_tiled_spatial
+
+        try:
+            si, sj, sk, w, ntrip = _spatial_plan_device(nocc)
+            r = triples_tiled_spatial(
+                *targs, si, sj, sk, w, nocc=nocc,
+                doing_T=doing_T, doing_R=doing_R, doing_CR=doing_CR,
+            )
+            r = jax.block_until_ready(jnp.stack(r))  # surface VMEM errors
+            totals = (r[0], r[0] + r[1], r[2], r[2] + r[3],
+                      r[4], r[4] + r[5])
+        except Exception as e:
+            from .. import pallas_memo
+
+            if not pallas_memo.is_vmem_error(e):
+                raise
+            pallas_memo.add("tiled_spatial", (nocc, nvirt, doing_CR))
+            precision = "hybrid"
+            rep.write(
+                " Tiled triples kernel exceeded the VMEM budget"
+                f" ({pallas_memo.brief(e)});"
+                " falling back to the hybrid slab finale."
             )
             jlen = pick_spatial_jlen(nocc, nvirt, precision, i_block)
     if totals is not None:
@@ -629,7 +678,8 @@ def do_ccsd_t_spatial(
         totals = triples_spatial_sharded(
             mesh, *targs, nocc=nocc, jlen=jlen,
             doing_T=doing_T, doing_R=doing_R, doing_CR=doing_CR,
-            precision="pallas" if precision == "fused" else precision,
+            precision="pallas" if precision in ("fused", "tiled")
+            else precision,
         )
     else:
         flags = dict(doing_T=doing_T, doing_R=doing_R, doing_CR=doing_CR)
@@ -639,12 +689,16 @@ def do_ccsd_t_spatial(
                     *targs, nocc=nocc, jlen=jlen, precision=precision, **flags
                 )
             )
-        except Exception:
-            if precision != "pallas":
+        except Exception as e:
+            from .. import pallas_memo
+
+            if precision != "pallas" or not pallas_memo.is_vmem_error(e):
                 raise
             # second-level degrade: slab + jnp finale (slow but fits)
+            pallas_memo.add("pallas_spatial", (nocc, nvirt, doing_CR))
             rep.write(
-                " Pallas slab finale exceeded the VMEM budget;"
+                " Pallas slab finale exceeded the VMEM budget"
+                f" ({pallas_memo.brief(e)});"
                 " falling back to the hybrid finale."
             )
             precision = "hybrid"

@@ -274,9 +274,9 @@ def _prefetch_spatial(
         nvirt = nbasis - nocc
         t_prec = precision
         if t_prec == "hybrid" and jax.default_backend() in ("tpu", "axon"):
-            # mirror do_ccsd_t_spatial: above the 128-lane panel the
-            # spatial tiers stay "hybrid" (Pallas finale VMEM cliff)
-            t_prec = "fused" if nvirt <= 128 else "hybrid"
+            # mirror do_ccsd_t_spatial: fused kernel to the 128-lane
+            # panel, the r5 a-panel-tiled kernel above it
+            t_prec = "fused" if nvirt <= 128 else "tiled"
         if doing_cr:
             from .methods.triples_spatial import cr_intermediates
             from .methods.ccsd_spatial import Slices
@@ -310,6 +310,19 @@ def _prefetch_spatial(
             triples_fused_spatial.lower(
                 *shapes, isd, isd, isd,
                 has_m=doing_cr,
+                interpret=jax.default_backend() not in ("tpu", "axon"),
+            ).compile()
+        elif t_prec == "tiled":
+            from .methods.triples_spatial import strict_spatial_plan
+            from .ops.triples_tiled import triples_tiled_spatial
+
+            si, sj, sk, w = strict_spatial_plan(nocc)
+            isd = jax.ShapeDtypeStruct(si.shape, jnp.int32)
+            wsd = jax.ShapeDtypeStruct(w.shape, jnp.float64)
+            triples_tiled_spatial.lower(
+                *shapes, isd, isd, isd, wsd,
+                nocc=nocc, doing_T=t_flags[0], doing_R=t_flags[1],
+                doing_CR=t_flags[2],
                 interpret=jax.default_backend() not in ("tpu", "axon"),
             ).compile()
         else:
@@ -366,9 +379,9 @@ def _prefetch_spatial(
         nvirt = nbasis - nocc
         t_prec = precision
         if t_prec == "hybrid" and jax.default_backend() in ("tpu", "axon"):
-            # mirror do_ccsd_t_spatial: above the 128-lane panel the
-            # spatial tiers stay "hybrid" (Pallas finale VMEM cliff)
-            t_prec = "fused" if nvirt <= 128 else "hybrid"
+            # mirror do_ccsd_t_spatial: fused kernel to the 128-lane
+            # panel, the r5 a-panel-tiled kernel above it
+            t_prec = "fused" if nvirt <= 128 else "tiled"
         e_o, e_v = levels[:nocc], levels[nocc:]
         if doing_cr:
             from .methods.triples_spatial import cr_intermediates
@@ -391,6 +404,19 @@ def _prefetch_spatial(
                 has_m=doing_cr,
             )
             np.asarray(out)
+        elif t_prec == "tiled":
+            from .methods.triples_spatial import strict_spatial_plan
+            from .ops.triples_tiled import triples_tiled_spatial
+
+            si, sj, sk, w = strict_spatial_plan(nocc)
+            out = triples_tiled_spatial(
+                *targs,
+                jnp.asarray(si), jnp.asarray(sj), jnp.asarray(sk),
+                jnp.asarray(w),
+                nocc=nocc, doing_T=t_flags[0], doing_R=t_flags[1],
+                doing_CR=t_flags[2],
+            )
+            [float(x) for x in out]
         else:
             from .methods.triples_spatial import (
                 _triples_total_spatial,
