@@ -124,11 +124,24 @@ def main():
     e_hf_tot = hf.e_hf + ints.e_nuc
     # physical self-consistency: bound closed-shell dimer near its
     # equilibrium — HF total in a sane window, corr energies negative and
-    # ordered, CR denominators > 1, T1 diagnostic single-reference-ish
+    # ordered, CR denominators > 1, T1 diagnostic single-reference-ish.
+    # PLUS the independent host-f64 oracle (tools/host_oracle.py,
+    # round-4 directive #3): the TPU HF/MP2 must land on a number this
+    # package's device code never touched, at the 1e-8 contract.
+    oracle_path = FIXTURE / "oracle.json"
+    oracle = (
+        json.loads(oracle_path.read_text()) if oracle_path.exists() else None
+    )
     checks = {
         "hf_converged": hf.converged,
         "ccsd_converged": cc.converged,
         "hf_total_sane": -152.5 < e_hf_tot < -151.5,
+        "oracle_e_hf": bool(
+            oracle and abs(e_hf_tot - oracle["e_hf_total"]) < 1e-8
+        ),
+        "oracle_e_mp2": bool(
+            oracle and abs(mp2.e_mp2 - oracle["e_mp2_corr"]) < 1e-8
+        ),
         "corr_ordered": tr.e_ccsd_t < cc.e_ccsd < mp2.e_mp2 * 0.7 < 0,
         "denominators_gt_1": tr.D_T > 1.0 and tr.D_TT > 1.0,
         "t1_single_ref": cc.t1_diagnostic < 0.02,

@@ -108,11 +108,24 @@ def main():
     t_wall_warm = time.perf_counter() - t0
 
     e_hf_tot = hf.e_hf + ints.e_nuc
-    # physical self-consistency: three bound waters near equilibrium
+    # physical self-consistency: three bound waters near equilibrium.
+    # PLUS the independent host-f64 oracle (tools/host_oracle.py,
+    # round-4 directive #3) at the 1e-8 contract — the reference cannot
+    # check this size at all (bignum cap ~99 bf, integrals.f90:10-21).
+    oracle_path = FIXTURE / "oracle.json"
+    oracle = (
+        json.loads(oracle_path.read_text()) if oracle_path.exists() else None
+    )
     checks = {
         "hf_converged": hf.converged,
         "ccsd_converged": cc.converged,
         "hf_total_sane": -229.5 < e_hf_tot < -227.5,
+        "oracle_e_hf": bool(
+            oracle and abs(e_hf_tot - oracle["e_hf_total"]) < 1e-8
+        ),
+        "oracle_e_mp2": bool(
+            oracle and abs(mp2.e_mp2 - oracle["e_mp2_corr"]) < 1e-8
+        ),
         "corr_ordered": tr.e_ccsd_t < cc.e_ccsd < mp2.e_mp2 * 0.7 < 0,
         "denominators_gt_1": tr.D_T > 1.0 and tr.D_TT > 1.0,
         "t1_single_ref": cc.t1_diagnostic < 0.02,
@@ -121,8 +134,9 @@ def main():
 
     o, v_ = sys_.nocc, sys_.nvirt
     fl_t = 2.0 * 12 * o**3 * v_**3 * (v_ + o) * 2
-    # MXU-utilization dashboard (round-4 directive #6): the trimer triples
-    # run the full-grid slab path (nvirt > 128), so strict=False
+    # MXU-utilization dashboard (round-4 directive #6): the r5 tiled
+    # Pallas tier executes the SORTED-triple grid (strict=True); the
+    # hybrid fallback is the full grid
     from afesp_tpu.flops import (
         MEASURED_BF16,
         MEASURED_F32,
@@ -131,7 +145,9 @@ def main():
     )
 
     fl_ccsd_x = spatial_ccsd_iteration_flops(o, v_) * cc.iterations
-    fl_t_x = spatial_triples_flops(o, v_, doing_CR=True, strict=False)
+    fl_t_x = spatial_triples_flops(
+        o, v_, doing_CR=True, strict=tr.precision_used == "tiled"
+    )
     print(
         json.dumps(
             {
