@@ -472,8 +472,7 @@ def _fused_spatial_kernel(o: int, v: int, vp: int, mp: int, has_m: bool):
 
     Per sorted triple (i<=j<=k): the 12 t3_D dots (6 f-type K=v, 6
     m-type K=o) and, for CR, the 12 m3 dots accumulate VMEM-resident
-    (vp,vp,vp) panels via transposed adds; t3=t3_D/D and z3 are built
-    plane-wise; the conjugacy-class operator
+    (vp,vp,vp) panels via transposed adds; the conjugacy-class operator
 
         M = 8 I - 4 (T_ab + T_ac + T_bc) + 2 (C + C^2)
 
@@ -489,13 +488,25 @@ def _fused_spatial_kernel(o: int, v: int, vp: int, mp: int, has_m: bool):
     occupied index changes (auto double-buffering of six 8.4 MB blocks
     would not fit VMEM next to the panel scratches).
 
-    r3 rework (same issue-cost amortisation as _fused_kernel): t3/z3/y
-    are built by whole-array passes — z3 and y as three (vp,1)x(1,vp^2)
-    rank-1 MXU dots each against host-flattened W / (outer(t1,t1)+t2) /
-    t2 rows, the divisions in vp/8 full-sublane blocks — and the six
-    energy reductions also run in vp/8 full-sublane blocks,
-    replacing the previous three ~v-iteration per-plane loops (~10x
-    fewer VPU op issues per triple)."""
+    r5 rework (recovers the ~31 MB VMEM regression a serving-stack
+    update's register-spill accounting caused — the r4 dimer ran 396 KB
+    over the 128 MB budget and degraded to the slab tier): the five
+    cube scratches become THREE via a buffer rotation.  Phase A: t3 =
+    x/D (the same element-rounding draw as the r2-validated kernel),
+    M(t3), s0/s2; then x is dead, so its buffer is REBUILT as m3 and
+    s4 reduces while M(t3) is live.  Phase B: the M buffer becomes
+    M(z3num) — UNDIVIDED — via nine per-triple (vp, vp) combo matrices
+    (M applied to z3's rank-structured numerator term-by-term: each S3
+    image of t1 (x)_axis W is again vector (x) matrix, so M(z3num)
+    groups into three vector-axis families with +-{8,4,2}-weighted
+    W/W^T combos); because D is S3-symmetric, sum G.M(z3) =
+    sum (G/D).M(z3num) exactly, so the division rides on the G side
+    (t3 already held; m3/y divide block-wise on the fly) and s1/s3/s5
+    reduce.  The y cube is never materialised — its 8-plane blocks are
+    rebuilt on the fly from the same rank structure.  The z3/y rank-1
+    MXU dots (and their large spilled value temporaries) are gone
+    entirely.  Validated vs f64 at 1e-8 on the N2 CR golden
+    (tests/test_triples_spatial.py)."""
     f32 = jnp.float32
     n_fetch = 6 if has_m else 3
 
@@ -507,10 +518,10 @@ def _fused_spatial_kernel(o: int, v: int, vp: int, mp: int, has_m: bool):
         if has_m:
             jot = refs[pos : pos + 6]; pos += 6
         t2m = refs[pos : pos + 3]; pos += 3
-        wfl = refs[pos : pos + 3]; pos += 3
-        yfl_jk = refs[pos]; pos += 1
-        t2fl_ik = refs[pos]; pos += 1
-        t2fl_ij = refs[pos]; pos += 1
+        wv = refs[pos : pos + 3]; pos += 3   # W pair blocks [jk, ik, ij]
+        yv_jk = refs[pos]; pos += 1          # outer(t1j,t1k) + t2[j,k]
+        u_ik = refs[pos]; pos += 1           # t2[i,k] pair block
+        u_ij = refs[pos]; pos += 1           # t2[i,j] pair block
         t1v_ref = refs[pos]; pos += 1
         dvv_ref = refs[pos]; pos += 1
         evc_ref = refs[pos]; pos += 1
@@ -518,8 +529,13 @@ def _fused_spatial_kernel(o: int, v: int, vp: int, mp: int, has_m: bool):
         if has_m:
             ivf_hbm = refs[pos]; pos += 1
         out_ref = refs[pos]; pos += 1
-        # scratch
-        t3d_s, m3_s, wk_s, mt_s, mz_s = refs[pos : pos + 5]; pos += 5
+        # scratch: THREE cubes (x/m3 rotation, t3, M) + the 9 combo
+        # mats + 3 t1 columns
+        x_s = refs[pos]; pos += 1            # t3_D, later rebuilt as m3
+        t3_s = refs[pos]; pos += 1           # t3 = t3_D / D
+        M_s = refs[pos]; pos += 1            # M(t3), later M(z3num)
+        cmb_s = refs[pos]; pos += 1          # (9, vp, vp)
+        col_s = refs[pos]; pos += 1          # (vp, 3): t1 i/j/k columns
         fet = refs[pos : pos + n_fetch]; pos += n_fetch
         sems = refs[pos]
 
@@ -553,35 +569,40 @@ def _fused_spatial_kernel(o: int, v: int, vp: int, mp: int, has_m: bool):
                 a, b, (((1,), (0,)), ((), ())), preferred_element_type=f32
             )
 
-        # ---- t3_D: 12 transposed-dot accumulations ----
-        first = True
-        for t, ((pa, pb), r, perm) in enumerate(_SPATIAL_F_TERMS):
-            raw = dot2(t2a[t][0, 0], fet[r][:]).reshape(vp, vp, vp)
-            raw = raw if perm == _ID else jnp.transpose(raw, perm)
-            if first:
-                t3d_s[:] = raw
-                first = False
-            else:
-                t3d_s[:] += raw
-        for t, ((pa, pb), r, perm) in enumerate(_SPATIAL_M_TERMS):
-            raw = dot2(vol[t][0, 0], t2m[r][0]).reshape(vp, vp, vp)
-            raw = raw if perm == _ID else jnp.transpose(raw, perm)
-            t3d_s[:] += -raw
+        # ---- cube GEMM builders (x = t3_D; for CR the SAME buffer is
+        # rebuilt as m3 once x is dead — the buffer-rotation below needs
+        # only three cubes where the r2-r4 kernel held five)
+        def build_x(dst):
+            first = True
+            for t, ((pa, pb), r, perm) in enumerate(_SPATIAL_F_TERMS):
+                raw = dot2(t2a[t][0, 0], fet[r][:]).reshape(vp, vp, vp)
+                raw = raw if perm == _ID else jnp.transpose(raw, perm)
+                if first:
+                    dst[:] = raw
+                    first = False
+                else:
+                    dst[:] += raw
+            for t, ((pa, pb), r, perm) in enumerate(_SPATIAL_M_TERMS):
+                raw = dot2(vol[t][0, 0], t2m[r][0]).reshape(vp, vp, vp)
+                raw = raw if perm == _ID else jnp.transpose(raw, perm)
+                dst[:] += -raw
 
-        if has_m:
+        def build_m3(dst):
             first = True
             for t, ((pa, pb), r, perm) in enumerate(_SPATIAL_F_TERMS):
                 raw = dot2(t2a[t][0, 0], fet[3 + r][:]).reshape(vp, vp, vp)
                 raw = raw if perm == _ID else jnp.transpose(raw, perm)
                 if first:
-                    m3_s[:] = raw
+                    dst[:] = raw
                     first = False
                 else:
-                    m3_s[:] += raw
+                    dst[:] += raw
             for t, ((pa, pb), r, perm) in enumerate(_SPATIAL_M3M_TERMS):
                 raw = dot2(jot[t][0, 0], t2m[r][0]).reshape(vp, vp, vp)
                 raw = raw if perm == _ID else jnp.transpose(raw, perm)
-                m3_s[:] += -raw
+                dst[:] += -raw
+
+        build_x(x_s)
 
         eo = eo_ref[p]
         i, j, k = idx
@@ -607,77 +628,146 @@ def _fused_spatial_kernel(o: int, v: int, vp: int, mp: int, has_m: bool):
                 jnp.int32(0), jnp.int32(vp // 8), body, jnp.int32(0)
             )
 
-        # ---- t3 = t3_D / D ----
-        div_blocks(wk_s, t3d_s)
+        # ---- t1 i/j/k columns into sliceable scratch (8-block builds
+        # below need dynamic (8,1) column windows; values cannot be
+        # dynamically sliced in Mosaic, refs can)
+        col_s[:, 0:1] = jnp.transpose(t1v_ref[pl.ds(i, 1), :], (1, 0))
+        col_s[:, 1:2] = jnp.transpose(t1v_ref[pl.ds(j, 1), :], (1, 0))
+        col_s[:, 2:3] = jnp.transpose(t1v_ref[pl.ds(k, 1), :], (1, 0))
+        t1j_bc = col_s[:, 1:2][None]            # (1, vp, 1)
+        t1k_cc = t1v_ref[pl.ds(k, 1), :][:, None, :]  # (1, 1, vp)
 
-        def build_M(dst):
-            dst[:] = jnp.float32(8.0) * wk_s[:]
-            dst[:] += jnp.float32(-4.0) * jnp.transpose(wk_s[:], (1, 0, 2))
-            dst[:] += jnp.float32(-4.0) * jnp.transpose(wk_s[:], (0, 2, 1))
-            dst[:] += jnp.float32(-4.0) * jnp.transpose(wk_s[:], (2, 1, 0))
-            dst[:] += jnp.float32(2.0) * jnp.transpose(wk_s[:], (2, 0, 1))
-            dst[:] += jnp.float32(2.0) * jnp.transpose(wk_s[:], (1, 2, 0))
+        def dblk(sl):
+            evb = evc_ref[sl, :].reshape(8, 1, 1)
+            return (eo - evb) - dvv3
 
-        build_M(mt_s)
+        # ---- phase A: t3 = x/D (the SAME element-rounding draw as the
+        # r2-validated kernel), M(t3), then s0/s2
+        div_blocks(t3_s, x_s)
 
-        # ---- z3 as three K=1 MXU dots (no per-plane loop) ----
-        # z3[a,b,c] = (t1[i,a] W[j,k][b,c] + t1[j,b] W[i,k][a,c]
-        #              + t1[k,c] W[i,j][a,b]) / D  (Piecuch Eq. 60)
-        # Each rank-1 term is one (vp,1)x(1,vp^2) dot in its natural
-        # layout; the odd ones land as [b,(a,c)] / [c,(a,b)] and a
-        # whole-array transpose (~2.5 us) brings them to [a,b,c].
-        t1i_col = jnp.transpose(t1v_ref[pl.ds(i, 1), :], (1, 0))  # (vp,1)
-        t1j_col = jnp.transpose(t1v_ref[pl.ds(j, 1), :], (1, 0))
-        t1k_col = jnp.transpose(t1v_ref[pl.ds(k, 1), :], (1, 0))
-        wk_s[:] = dot2(t1i_col, wfl[0][0, 0]).reshape(vp, vp, vp)
-        wk_s[:] += jnp.transpose(
-            dot2(t1j_col, wfl[1][0, 0]).reshape(vp, vp, vp), (1, 0, 2)
-        )
-        wk_s[:] += jnp.transpose(
-            dot2(t1k_col, wfl[2][0, 0]).reshape(vp, vp, vp), (1, 2, 0)
-        )
-        div_blocks(wk_s, wk_s)
-        build_M(mz_s)
+        def build_M(dst, src):
+            dst[:] = jnp.float32(8.0) * src[:]
+            dst[:] += jnp.float32(-4.0) * jnp.transpose(src[:], (1, 0, 2))
+            dst[:] += jnp.float32(-4.0) * jnp.transpose(src[:], (0, 2, 1))
+            dst[:] += jnp.float32(-4.0) * jnp.transpose(src[:], (2, 1, 0))
+            dst[:] += jnp.float32(2.0) * jnp.transpose(src[:], (2, 0, 1))
+            dst[:] += jnp.float32(2.0) * jnp.transpose(src[:], (1, 2, 0))
 
-        # ---- y cube, same three-dot structure ----
-        # y[a,b,c] = t1[i,a] (t1[j,b] t1[k,c] + t2[j,k][b,c])
+        build_M(M_s, t3_s)
+
+        # y 8-plane block (Piecuch Eq. 66), rebuilt on the fly:
+        # y[a,b,c] = t1[i,a] (outer(t1j,t1k)+t2[j,k])[b,c]
         #            + t1[j,b] t2[i,k][a,c] + t1[k,c] t2[i,j][a,b]
-        # (yfl_jk rows arrive host-built as outer(t1,t1)+t2, flattened)
-        wk_s[:] = dot2(t1i_col, yfl_jk[0, 0]).reshape(vp, vp, vp)
-        wk_s[:] += jnp.transpose(
-            dot2(t1j_col, t2fl_ik[0, 0]).reshape(vp, vp, vp), (1, 0, 2)
-        )
-        wk_s[:] += jnp.transpose(
-            dot2(t1k_col, t2fl_ij[0, 0]).reshape(vp, vp, vp), (1, 2, 0)
-        )
+        def y_block(sl):
+            ti8 = col_s[sl, 0:1].reshape(8, 1, 1)
+            return (
+                ti8 * yv_jk[0, 0][None]
+                + t1j_bc * u_ik[0, 0, sl, :][:, None, :]
+                + t1k_cc * u_ij[0, 0, sl, :][:, :, None]
+            )
 
-        # ---- six reductions in 8-plane blocks (vp/8 full-sublane
-        # passes instead of v per-plane passes).  Each block reduces
-        # only the lane axis (128-element sums) and Kahan-accumulates
-        # the (8,128) partial grid elementwise — compensation applied
-        # to 128-element partials is strictly better conditioned than
-        # the previous per-plane scheme's 16k-element inner sums. ----
-        def accb(b, acc):
-            s0, s1, s2, s3, s4, s5 = acc
-            sl = pl.ds(b * 8, 8)
-            x = t3d_s[sl]
-            mt = mt_s[sl]
-            mz = mz_s[sl]
-            yb = wk_s[sl]
-            s0 = _ksum(s0, jnp.sum(x * mt, axis=1))
-            s1 = _ksum(s1, jnp.sum(x * mz, axis=1))
-            s2 = _ksum(s2, jnp.sum(yb * mt, axis=1))
-            s3 = _ksum(s3, jnp.sum(yb * mz, axis=1))
-            if has_m:
-                m = m3_s[sl]
-                s4 = _ksum(s4, jnp.sum(m * mt, axis=1))
-                s5 = _ksum(s5, jnp.sum(m * mz, axis=1))
-            return (s0, s1, s2, s3, s4, s5)
-
+        # reductions in 8-plane blocks: each reduces only the lane axis
+        # (128-element sums) and Kahan-accumulates the (8,128) partial
+        # grid elementwise — compensation applied to 128-element
+        # partials is strictly better conditioned than per-plane
+        # 16k-element inner sums.
         z = jnp.zeros((8, 128), f32)
-        sums = jax.lax.fori_loop(
-            jnp.int32(0), jnp.int32(vp // 8), accb, ((z, z),) * 6
+
+        def accA(b, acc):
+            s0, s2 = acc
+            sl = pl.ds(b * 8, 8)
+            mt = M_s[sl]
+            s0 = _ksum(s0, jnp.sum(x_s[sl] * mt, axis=1))
+            s2 = _ksum(s2, jnp.sum(y_block(sl) * mt, axis=1))
+            return (s0, s2)
+
+        sA = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(vp // 8), accA, ((z, z),) * 2
         )
+
+        # ---- CR: x is dead after s0 — rebuild its buffer as m3 and
+        # take s4 = sum m3 . M(t3) while M(t3) is still live
+        if has_m:
+            build_m3(x_s)
+
+            def accM(b, acc):
+                sl = pl.ds(b * 8, 8)
+                return _ksum(acc, jnp.sum(x_s[sl] * M_s[sl], axis=1))
+
+            s4 = jax.lax.fori_loop(
+                jnp.int32(0), jnp.int32(vp // 8), accM, (z, z)
+            )
+        else:
+            s4 = (z, z)
+
+        # ---- phase B: the SAME M buffer becomes M(z3num) — UNDIVIDED.
+        # z3's numerator is rank-structured (t1 vector (x) W matrix per
+        # axis), and every S3 image of such a term is again vector (x)
+        # matrix — so M(z3num) collapses to three vector-axis families
+        # with nine (vp, vp) combo matrices (W/W^T at M's class weights
+        # 8/-4/2), built once per triple.  Because D is S3-symmetric,
+        # sum G . M(z3) = sum (G/D) . M(z3num) EXACTLY (as reals): the
+        # division rides on the G side, where t3 = x/D is already held
+        # and m3/y divide block-wise on the fly.
+        W1 = wv[0][0, 0]   # W[j,k]
+        W2 = wv[1][0, 0]   # W[i,k]
+        W3 = wv[2][0, 0]   # W[i,j]
+        W1T = jnp.transpose(W1, (1, 0))
+        W2T = jnp.transpose(W2, (1, 0))
+        W3T = jnp.transpose(W3, (1, 0))
+        c8, c4, c2 = jnp.float32(8.0), jnp.float32(-4.0), jnp.float32(2.0)
+        cmb_s[0] = c8 * W1 + c4 * W1T   # A_i  (vector axis a)
+        cmb_s[1] = c4 * W2 + c2 * W2T   # A_j
+        cmb_s[2] = c2 * W3 + c4 * W3T   # A_k
+        cmb_s[3] = c4 * W1 + c2 * W1T   # B_i  (vector axis b)
+        cmb_s[4] = c8 * W2 + c4 * W2T   # B_j
+        cmb_s[5] = c4 * W3 + c2 * W3T   # B_k
+        cmb_s[6] = c2 * W1 + c4 * W1T   # C_i  (vector axis c)
+        cmb_s[7] = c4 * W2 + c2 * W2T   # C_j
+        cmb_s[8] = c8 * W3 + c4 * W3T   # C_k
+
+        def mzn_block(b, c):
+            sl = pl.ds(b * 8, 8)
+            ti8 = col_s[sl, 0:1].reshape(8, 1, 1)
+            tj8 = col_s[sl, 1:2].reshape(8, 1, 1)
+            tk8 = col_s[sl, 2:3].reshape(8, 1, 1)
+            xx = ti8 * cmb_s[0][None] + tj8 * cmb_s[1][None]
+            xx += tk8 * cmb_s[2][None]
+            # vector on b: vec (1,vp,1) x combo rows a in sl (8,1,vp)
+            xx += (
+                col_s[:, 0:1][None] * cmb_s[3, sl, :][:, None, :]
+                + col_s[:, 1:2][None] * cmb_s[4, sl, :][:, None, :]
+                + col_s[:, 2:3][None] * cmb_s[5, sl, :][:, None, :]
+            )
+            # vector on c: vec (1,1,vp) x combo rows a in sl (8,vp,1)
+            xx += (
+                t1v_ref[pl.ds(i, 1), :][:, None, :] * cmb_s[6, sl, :][:, :, None]
+                + t1v_ref[pl.ds(j, 1), :][:, None, :] * cmb_s[7, sl, :][:, :, None]
+                + t1v_ref[pl.ds(k, 1), :][:, None, :] * cmb_s[8, sl, :][:, :, None]
+            )
+            M_s[sl] = xx
+            return c
+
+        jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(vp // 8), mzn_block, jnp.int32(0)
+        )
+
+        def accB(b, acc):
+            s1, s3, s5 = acc
+            sl = pl.ds(b * 8, 8)
+            mzn = M_s[sl]
+            d = dblk(sl)
+            s1 = _ksum(s1, jnp.sum(t3_s[sl] * mzn, axis=1))
+            s3 = _ksum(s3, jnp.sum((y_block(sl) / d) * mzn, axis=1))
+            if has_m:
+                s5 = _ksum(s5, jnp.sum((x_s[sl] / d) * mzn, axis=1))
+            return (s1, s3, s5)
+
+        sB = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(vp // 8), accB, ((z, z),) * 3
+        )
+
+        sums = (sA[0], sB[0], sA[1], sB[1], s4, sB[2])
         # Export the WHOLE (8,128) compensated partial grid per sum
         # (sum n -> lanes 128n..128n+127) instead of collapsing to one
         # f32 scalar: the collapse costs ~1 ulp(s) per triple and that
@@ -732,15 +822,10 @@ def triples_fused_spatial(
             ((0, 0), (0, 0), (0, pv), (0, po)),
         )
     t1v = jnp.pad(t1.astype(f32), ((0, 0), (0, pv)))
-    # flattened (1, vp^2) row operands for the in-kernel rank-1 dots
-    # (flattening host-side keeps the kernel free of sublane->lane
-    # relayouts): W pairs for z3, outer(t1,t1)+t2 pairs for y's first
-    # term, plain t2 pairs for its other two
-    Wfl = Wvv.reshape(o, o, 1, vp * vp)
-    t2fl = t2a.reshape(o, o, 1, vp * vp)
-    Yfl = (t1v[:, None, :, None] * t1v[None, :, None, :] + t2a).reshape(
-        o, o, 1, vp * vp
-    )
+    # y's first-term matrix family (outer(t1,t1)+t2) as plain (vp, vp)
+    # pair blocks — the r5 phased kernel consumes W/U matrices with
+    # 8-row broadcasts, so the rank-1-dot flattened layouts are gone
+    Yv = t1v[:, None, :, None] * t1v[None, :, None, :] + t2a
     evp = jnp.pad(e_v.astype(f32), (0, pv), constant_values=1e3)
     dvv = evp[:, None] + evp[None, :]
     eo_sum = (e_o[ii] + e_o[jj] + e_o[kk]).astype(f32)
@@ -779,15 +864,15 @@ def triples_fused_spatial(
         in_specs.append(bsM(third_map(r)))
         inputs.append(t2M2)
     for (pa, pb) in _WVV_PAIRS:
-        in_specs.append(bsF(pair_map(pa, pb)))
-        inputs.append(Wfl)
-    # y-cube rank-1 rhs rows: (outer+t2)[j,k], t2[i,k], t2[i,j]
-    in_specs.append(bsF(pair_map(1, 2)))
-    inputs.append(Yfl)
-    in_specs.append(bsF(pair_map(0, 2)))
-    inputs.append(t2fl)
-    in_specs.append(bsF(pair_map(0, 1)))
-    inputs.append(t2fl)
+        in_specs.append(bs4(pair_map(pa, pb)))
+        inputs.append(Wvv)
+    # y-cube matrices: (outer+t2)[j,k], t2[i,k], t2[i,j]
+    in_specs.append(bs4(pair_map(1, 2)))
+    inputs.append(Yv)
+    in_specs.append(bs4(pair_map(0, 2)))
+    inputs.append(t2a)
+    in_specs.append(bs4(pair_map(0, 1)))
+    inputs.append(t2a)
     in_specs.append(
         pl.BlockSpec((o, vp), lambda p, *_: (0, 0), memory_space=pltpu.VMEM)
     )
@@ -815,7 +900,8 @@ def triples_fused_spatial(
             (1, 8, 6 * 128), lambda p, *_: (p, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[pltpu.VMEM((vp, vp, vp), f32)] * 5
+        scratch_shapes=[pltpu.VMEM((vp, vp, vp), f32)] * 3
+        + [pltpu.VMEM((9, vp, vp), f32), pltpu.VMEM((vp, 3), f32)]
         + [pltpu.VMEM((vp, vp * vp), f32)] * n_fetch
         + [pltpu.SemaphoreType.DMA((n_fetch,))],
     )
