@@ -271,7 +271,7 @@ def _tiled_kernel(v: int, PA: int, NP: int,
         @pl.when(p == NP - 1)
         def _():
             for s in range(6):
-                out_ref[0, :, s, :] = acc_s[s] + acc_c[s]
+                out_ref[0, s] = acc_s[s] + acc_c[s]
 
     return kernel
 
@@ -279,7 +279,7 @@ def _tiled_kernel(v: int, PA: int, NP: int,
 def _pallas_partials(cubes: dict, eo_sum, evp_col, dvv, *, v: int, PA: int,
                      has_z: bool, has_y: bool, has_m: bool,
                      interpret: bool):
-    """Stage 2 dispatch: (B, 8, 6, v) f32 per-triple partial grids."""
+    """Stage 2 dispatch: (B, 6, 8, v) f32 per-triple partial grids."""
     B = eo_sum.shape[0]
     npa = evp_col.shape[0]
     NP = npa // PA
@@ -321,7 +321,7 @@ def _pallas_partials(cubes: dict, eo_sum, evp_col, dvv, *, v: int, PA: int,
         grid=(B, NP),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, 8, 6, v), lambda t, p, *_: (t, 0, 0, 0),
+            (1, 6, 8, v), lambda t, p, *_: (t, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=scratch,
@@ -330,7 +330,7 @@ def _pallas_partials(cubes: dict, eo_sum, evp_col, dvv, *, v: int, PA: int,
         return pl.pallas_call(
             _tiled_kernel(v, PA, NP, has_z, has_y, has_m),
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((B, 8, 6, v), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((B, 6, 8, v), jnp.float32),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=128 * 1024 * 1024,
             ),
@@ -396,11 +396,11 @@ def triples_tiled_spatial(
             cubes, eo_sum, evp_col, dvv, v=v, PA=PA,
             has_z=has_z, has_y=has_y, has_m=has_m, interpret=interpret,
         )
-        # (B, 8, 6, v) f32 grids -> f64 per-triple sums -> orbit weights.
+        # (B, 6, 8, v) f32 grids -> f64 per-triple sums -> orbit weights.
         # Grid slots are ~1e-5-scale f32 partials (ulp ~1e-12): the f64
         # grid sum is exact at the contract scale (see the fused
         # kernel's export comment).
-        sums = jnp.sum(parts.astype(jnp.float64), axis=(1, 3))  # (B, 6)
+        sums = jnp.sum(parts.astype(jnp.float64), axis=(2, 3))  # (B, 6)
         contrib = jnp.sum(sums * cw[:, None], axis=0)           # (6,)
         return carry + contrib, None
 
