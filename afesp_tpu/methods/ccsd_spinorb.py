@@ -43,6 +43,13 @@ class SpinSlices(NamedTuple):
     ovvv: jnp.ndarray
     vovv: jnp.ndarray
     vvvv: jnp.ndarray
+    # block-compressed alternative to the dense vvvv for nvirt where
+    # (2 vs)^4 f64 exceeds HBM (the 116-bf dimer spin-orbital run:
+    # 16.2 GB dense, 2 x 1.0 GB as blocks): the unique (aa, ab) spin
+    # blocks from ops/spin.spinorb_vvvv_blocks.  When set, vvvv is None
+    # and every vvvv consumer routes through the blocks (they already
+    # computed block-wise — tau_vvvv_blocked/tau_vvvv_split).
+    vvvv_blocks: tuple | None = None
 
 
 @dataclasses.dataclass
@@ -55,10 +62,16 @@ class CCSDSpinorbResult:
     slices: SpinSlices
 
 
-@partial(jax.jit, static_argnames=("nocc_spatial",))
-def make_spin_slices(eri_mo: jnp.ndarray, *, nocc_spatial: int) -> SpinSlices:
+@partial(jax.jit, static_argnames=("nocc_spatial", "block_vvvv"))
+def make_spin_slices(
+    eri_mo: jnp.ndarray, *, nocc_spatial: int, block_vvvv: bool = False
+) -> SpinSlices:
     """All nine antisymmetrised slices in ONE compiled program — the
-    unjitted version costs ~500 dispatches of tunnel latency."""
+    unjitted version costs ~500 dispatches of tunnel latency.
+    block_vvvv=True keeps vvvv as its two unique spin blocks instead of
+    the dense (2 nvirt)^4 tensor (see SpinSlices.vvvv_blocks)."""
+    from ..ops.spin import spinorb_vvvv_blocks
+
     s = lambda b: spinorb_slice(eri_mo, b, nocc_spatial)
     return SpinSlices(
         oooo=s("oooo"),
@@ -69,11 +82,14 @@ def make_spin_slices(eri_mo: jnp.ndarray, *, nocc_spatial: int) -> SpinSlices:
         ovvo=s("ovvo"),
         ovvv=s("ovvv"),
         vovv=s("vovv"),
-        vvvv=s("vvvv"),
+        vvvv=None if block_vvvv else s("vvvv"),
+        vvvv_blocks=(
+            spinorb_vvvv_blocks(eri_mo, nocc_spatial) if block_vvvv else None
+        ),
     )
 
 
-def tau_vvvv_blocked(tau, vvvv):
+def tau_vvvv_blocked(tau, vvvv, blocks=None):
     """0.5 * einsum('ijef,efab->ijab', tau, vvvv), exploiting the spin
     block-sparsity of the antisymmetrised slices (block spin order,
     ops/spin.py): <ef||ab> vanishes unless multiset{spin e, spin f} ==
@@ -84,9 +100,25 @@ def tau_vvvv_blocked(tau, vvvv):
     the dominant CCSD contraction (ccsd.f90:1669 analogue), bit-exact up
     to f64 reassociation because the skipped blocks are exact zeros.
 
+    blocks: the (aa, ab) unique spin blocks when vvvv is held
+    block-compressed (SpinSlices.vvvv_blocks) — the same three GEMMs,
+    with the bb block read from aa (identical for closed shells in
+    block spin order).
+
     Falls back to the dense einsum for odd nv (non-spin-orbital callers).
     """
     es = partial(jnp.einsum, optimize=True)
+    if blocks is not None:
+        aa_blk, ab_blk = blocks
+        vs = aa_blk.shape[0]
+        A, B = slice(0, vs), slice(vs, None)
+        out_aa = es("ijef,efab->ijab", tau[:, :, A, A], aa_blk)
+        out_bb = es("ijef,efab->ijab", tau[:, :, B, B], aa_blk)
+        out_ab = 2.0 * es("ijef,efab->ijab", tau[:, :, A, B], ab_blk)
+        out_ba = -jnp.transpose(out_ab, (0, 1, 3, 2))
+        top = jnp.concatenate([out_aa, out_ab], axis=3)
+        bot = jnp.concatenate([out_ba, out_bb], axis=3)
+        return 0.5 * jnp.concatenate([top, bot], axis=2)
     nv = vvvv.shape[0]
     if nv % 2:
         return 0.5 * es("ijef,efab->ijab", tau, vvvv)
@@ -168,14 +200,30 @@ class HybridConsts(NamedTuple):
 def presplit_consts(v: SpinSlices, kc: int = 64) -> HybridConsts:
     from ..ops.exact_gemm import prechunk_A, prechunk_B
 
-    nv = v.vvvv.shape[0]
+    nv = v.oovv.shape[2]
     vs = nv // 2
     A, B = slice(0, vs), slice(vs, None)
     no = v.oovv.shape[0]
+    if v.vvvv_blocks is not None:
+        # block-compressed vvvv: bb == aa for closed shells in block
+        # spin order, so ONE prechunk serves both (saves 1.3 GB of
+        # limbs at the 116-bf dimer)
+        aa_blk, ab_blk = v.vvvv_blocks
+        aa_pre = prechunk_B(aa_blk.reshape(vs * vs, vs * vs), L=5)
+        vvvv_pre = (
+            aa_pre, aa_pre,
+            prechunk_B(ab_blk.reshape(vs * vs, vs * vs), L=5),
+        )
+    else:
+        vvvv_pre = (
+            prechunk_B(v.vvvv[A, A, A, A].reshape(vs * vs, vs * vs), L=5),
+            prechunk_B(v.vvvv[B, B, B, B].reshape(vs * vs, vs * vs), L=5),
+            prechunk_B(v.vvvv[A, B, A, B].reshape(vs * vs, vs * vs), L=5),
+        )
     return HybridConsts(
-        vvvv_aa=prechunk_B(v.vvvv[A, A, A, A].reshape(vs * vs, vs * vs), L=5),
-        vvvv_bb=prechunk_B(v.vvvv[B, B, B, B].reshape(vs * vs, vs * vs), L=5),
-        vvvv_ab=prechunk_B(v.vvvv[A, B, A, B].reshape(vs * vs, vs * vs), L=5),
+        vvvv_aa=vvvv_pre[0],
+        vvvv_bb=vvvv_pre[1],
+        vvvv_ab=vvvv_pre[2],
         ovvv_ef=prechunk_B(
             jnp.transpose(v.ovvv, (2, 3, 0, 1)).reshape(nv * nv, no * nv), L=5
         ),
@@ -205,20 +253,26 @@ def presplit_consts(v: SpinSlices, kc: int = 64) -> HybridConsts:
     )
 
 
-def tau_vvvv_split(tau, vvvv, consts: HybridConsts | None = None):
+def tau_vvvv_split(tau, vvvv, consts: HybridConsts | None = None, blocks=None):
     """tau_vvvv_blocked with the three spin-block GEMMs on the MXU fast
     path (pre-digitized bf16 digit GEMMs when consts are available,
     hi/lo split-f32 otherwise) — selected by `ccsd_precision = "hybrid"`
-    in els.in."""
-    nv = vvvv.shape[0]
+    in els.in.  blocks: the (aa, ab) unique spin blocks when vvvv is
+    block-compressed (bb reads aa — identical for closed shells)."""
+    nv = tau.shape[2]
     vs = nv // 2
     A, B = slice(0, vs), slice(vs, None)
     pre = (None, None, None) if consts is None else (
         consts.vvvv_aa, consts.vvvv_bb, consts.vvvv_ab
     )
-    aa = _split_gemm_chunked(tau[:, :, A, A], vvvv[A, A, A, A], B_pre=pre[0])
-    bb = _split_gemm_chunked(tau[:, :, B, B], vvvv[B, B, B, B], B_pre=pre[1])
-    ab = 2.0 * _split_gemm_chunked(tau[:, :, A, B], vvvv[A, B, A, B], B_pre=pre[2])
+    if blocks is not None:
+        aa_blk, ab_blk = blocks
+    else:
+        aa_blk, ab_blk = vvvv[A, A, A, A], vvvv[A, B, A, B]
+    bb_blk = aa_blk if blocks is not None else vvvv[B, B, B, B]
+    aa = _split_gemm_chunked(tau[:, :, A, A], aa_blk, B_pre=pre[0])
+    bb = _split_gemm_chunked(tau[:, :, B, B], bb_blk, B_pre=pre[1])
+    ab = 2.0 * _split_gemm_chunked(tau[:, :, A, B], ab_blk, B_pre=pre[2])
     ba = -jnp.transpose(ab, (0, 1, 3, 2))
     top = jnp.concatenate([aa, ab], axis=3)
     bot = jnp.concatenate([ba, bb], axis=3)
@@ -474,10 +528,10 @@ def _iteration_core(
     # (O(o^3 v) memory instead of O(v^4)).
     # vvvv is (ab)<->(ef) symmetric
     if vvvv_split:
-        tmp_t2 += tau_vvvv_split(tau, v.vvvv, consts)
+        tmp_t2 += tau_vvvv_split(tau, v.vvvv, consts, blocks=v.vvvv_blocks)
         G = _g_split(tau, v.ovvv, consts)
     else:
-        tmp_t2 += tau_vvvv_blocked(tau, v.vvvv)
+        tmp_t2 += tau_vvvv_blocked(tau, v.vvvv, blocks=v.vvvv_blocks)
         G = bs("ijef,maef->ijma", tau, v.ovvv)
     tmp_t2 += 0.5 * (es("ijma,mb->ijab", G, t1) - es("ijmb,ma->ijab", G, t1))
     t2_new = tmp_t2 / D_ijab
@@ -563,8 +617,13 @@ def get_spinorb_solver(paper_foo: bool = False, vvvv_split: bool = False):
     }[(paper_foo, vvvv_split)]
 
 
-@partial(jax.jit, static_argnames=("nocc_spatial", "selfcheck"))
-def spinorb_cc_init(eri_mo, levels, *, nocc_spatial: int, selfcheck: bool = True):
+@partial(
+    jax.jit, static_argnames=("nocc_spatial", "selfcheck", "block_vvvv")
+)
+def spinorb_cc_init(
+    eri_mo, levels, *, nocc_spatial: int, selfcheck: bool = True,
+    block_vvvv: bool = False,
+):
     """Slices + denominators + MP1 guess + initial energy as ONE compiled
     program (the eager op-by-op version costs seconds of per-op dispatch
     latency/compiles under a remote-tunnel TPU).
@@ -574,19 +633,32 @@ def spinorb_cc_init(eri_mo, levels, *, nocc_spatial: int, selfcheck: bool = True
     dispatch: the check's transposes then read slices XLA just wrote
     (no second program load, no extra dispatch latency), and the scalar
     rides back with the packed solve summary."""
-    v = make_spin_slices(eri_mo, nocc_spatial=nocc_spatial)
+    v = make_spin_slices(
+        eri_mo, nocc_spatial=nocc_spatial, block_vvvv=block_vvvv
+    )
     lv = spinorb_levels(levels, nocc_spatial)
     D_ia, D_ijab = spinorb_denominators(lv, 2 * nocc_spatial)
     t1 = jnp.zeros_like(D_ia)
     t2 = v.oovv / D_ijab  # MP1 guess (ccsd.f90:523)
     e0, r0 = cc_energy_spinorb(t1, t2, jnp.zeros_like(t2), v.oovv)
-    if selfcheck:
+    if selfcheck and block_vvvv:
+        from ..ops.spin import spin_symmetry_error_blocks
+
+        err = spin_symmetry_error_blocks(
+            v.oooo, v.oovv, v.vvvv_blocks[0], v.vvvv_blocks[1]
+        )
+    elif selfcheck:
         from ..ops.spin import spin_symmetry_error_traceable
 
         err = spin_symmetry_error_traceable(v.oooo, v.oovv, v.vvvv)
     else:
         err = jnp.float64(0.0)
     return v, D_ia, D_ijab, t1, t2, e0, r0, err
+
+
+# dense-vvvv byte budget above which do_ccsd_spinorb holds the slice
+# block-compressed (tests lower this to force the path on small fixtures)
+_BLOCK_VVVV_BYTES = 4e9
 
 
 def do_ccsd_spinorb(
@@ -614,9 +686,15 @@ def do_ccsd_spinorb(
     # summary.  On failure the error still surfaces before any result is
     # returned (the reference aborts before iterating; we abort after —
     # same user-visible contract, error block included).
+    # dense vvvv is (nvirt)^4 f64; above ~4 GB (nvirt ~ 150) it cannot
+    # share one chip's HBM with the other slices — hold it as its two
+    # unique spin blocks instead (16x smaller; every consumer is
+    # block-wise already).  This is what lets the 116-bf dimer run the
+    # spin-orbital formulation at all (16.2 GB dense).
+    block_vvvv = sys_.nvirt**4 * 8 > _BLOCK_VVVV_BYTES
     v, D_ia, D_ijab, t1, t2, e0, r0, selfcheck_err = spinorb_cc_init(
         eri_mo, jnp.asarray(hf.levels), nocc_spatial=sys_.nel // 2,
-        selfcheck=cfg.spinorb_selfcheck,
+        selfcheck=cfg.spinorb_selfcheck, block_vvvv=block_vvvv,
     )
     if cfg.spinorb_selfcheck:
         # the reference's typo is part of the output format
@@ -706,7 +784,10 @@ def do_ccsd_spinorb(
         # asymmetry under TPU f64 emulation, so the tolerance scales with
         # the number of summed elements (still ~9 orders below any real
         # symmetry violation)
-        tol = max(1e-10, 1e-13 * 2 * (v.oooo.size + v.vvvv.size))
+        vvvv_size = (
+            v.vvvv.size if v.vvvv is not None else 16 * v.vvvv_blocks[0].size
+        )
+        tol = max(1e-10, 1e-13 * 2 * (v.oooo.size + vvvv_size))
         if err > tol:
             rep.write(f" Permutational symmetry error: {err:15.6E}")
             raise RuntimeError(

@@ -61,6 +61,53 @@ def spinorb_slice(eri_mo: jnp.ndarray, blocks: str, nocc_spatial: int) -> jnp.nd
     return jnp.concatenate(rows0, axis=0)
 
 
+def spinorb_vvvv_blocks(
+    eri_mo: jnp.ndarray, nocc_spatial: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """The two UNIQUE spin blocks of the antisymmetrised <ab||cd> slice,
+    built straight from the spatial MO tensor — the full (2 nvirt)^4
+    tensor never exists (16.2 GB f64 at the 116-bf dimer, over one
+    chip's HBM; the blocks are 1.0 GB each).
+
+    Returns (aa, ab) with aa = <AB||CD>_aaaa = A - B and
+    ab = <AB||CD>_abab = A, where A = (AC|BD), B = (AD|BC) over spatial
+    virtuals (the ccsd.f90:133-138 decision tree evaluated at the only
+    two distinct non-zero patterns; bbbb == aaaa and the remaining mixed
+    blocks are +-transposes of ab — exactly the identities
+    tau_vvvv_blocked already exploits)."""
+    n = eri_mo.shape[0]
+    v = slice(nocc_spatial, n)
+    A = jnp.transpose(eri_mo, (0, 2, 1, 3))[v, v, v, v]
+    B = jnp.transpose(eri_mo, (0, 2, 3, 1))[v, v, v, v]
+    return A - B, A
+
+
+def spin_symmetry_error_blocks(oooo, oovv, aa, ab) -> jnp.ndarray:
+    """spin_symmetry_error_traceable for the block-compressed vvvv mode
+    (vvvv held as its (aa, ab) spin blocks).  Both generators close
+    within the aa block (it is a complete antisymmetrised tensor over
+    the alpha virtuals); for ab only the pair-exchange generator c stays
+    inside the stored block (<ab||cd>_abab <-> <cd||ab>_abab) — the
+    swap-last-pair generator maps into the ba block, which is not
+    stored, so it is checked via the aa/oovv channels instead (any
+    spin-mask or assembly error that breaks b breaks it there too)."""
+    oooo = oooo.astype(jnp.float32)
+    oovv = oovv.astype(jnp.float32)
+    aa = aa.astype(jnp.float32)
+    ab = ab.astype(jnp.float32)
+
+    def gen2(X):
+        b = jnp.sum(jnp.abs(X + jnp.transpose(X, (0, 1, 3, 2))))
+        c = jnp.sum(jnp.abs(X - jnp.transpose(X, (2, 3, 0, 1))))
+        return b + c
+
+    anti = jnp.sum(jnp.abs(oovv + jnp.transpose(oovv, (0, 1, 3, 2)))) + jnp.sum(
+        jnp.abs(oovv + jnp.transpose(oovv, (1, 0, 2, 3)))
+    )
+    c_ab = jnp.sum(jnp.abs(ab - jnp.transpose(ab, (2, 3, 0, 1))))
+    return (gen2(oooo) + gen2(aa) + c_ab + anti).astype(jnp.float64)
+
+
 def spinorb_levels(levels: jnp.ndarray, nocc_spatial: int) -> jnp.ndarray:
     """Spin-orbital levels in block order: [occ-alpha, occ-beta,
     virt-alpha, virt-beta] (the reference interleaves, ccsd.f90:460-463;

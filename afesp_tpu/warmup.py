@@ -154,6 +154,12 @@ def _prefetch_spinorb(
         t_prec = "fused" if nvirt_so <= 128 else "hybrid"
     else:
         t_prec = "hybrid"
+    # mirror do_ccsd_spinorb's block-compressed-vvvv selection (the
+    # >4 GB dense tier) or the prefetched program is the wrong one —
+    # and its dense (nvirt)^4 dummy slice would OOM the chip
+    from .methods.ccsd_spinorb import _BLOCK_VVVV_BYTES
+
+    block_vvvv = nvirt_so**4 * 8 > _BLOCK_VVVV_BYTES
 
     # Large tier, cold cache: AOT-lower/compile from abstract shapes only
     # (no HBM footprint, no local-compile contention on the execute path).
@@ -162,12 +168,16 @@ def _prefetch_spinorb(
     # server-side program loads forward, off the critical path.
     if nbasis > _AOT_NBASIS and not _cache_warm():
         eri_s, lv_s = _sds((nbasis,) * 4), _sds((nbasis,))
-        init_fn = partial(spinorb_cc_init, nocc_spatial=no_sp, selfcheck=selfcheck)
+        init_fn = partial(
+            spinorb_cc_init, nocc_spatial=no_sp, selfcheck=selfcheck,
+            block_vvvv=block_vvvv,
+        )
         v_s, D_ia_s, D_ijab_s, t1_s, t2_s, e0_s, _, _ = jax.eval_shape(
             init_fn, eri_s, lv_s
         )
         spinorb_cc_init.lower(
-            eri_s, lv_s, nocc_spatial=no_sp, selfcheck=selfcheck
+            eri_s, lv_s, nocc_spatial=no_sp, selfcheck=selfcheck,
+            block_vvvv=block_vvvv,
         ).compile()
         state_s = jax.eval_shape(partial(init_cc_state, n_errmat=nerr), t1_s, t2_s)
         sc = _sds(())
@@ -196,7 +206,8 @@ def _prefetch_spinorb(
     eri = jnp.zeros((nbasis,) * 4)
     levels = jnp.asarray(_dummy_levels(nbasis, no_sp))
     v, D_ia, D_ijab, t1, t2, e0, _, _ = spinorb_cc_init(
-        eri, levels, nocc_spatial=no_sp, selfcheck=selfcheck
+        eri, levels, nocc_spatial=no_sp, selfcheck=selfcheck,
+        block_vvvv=block_vvvv,
     )
     state = init_cc_state(t1, t2, nerr)
 
