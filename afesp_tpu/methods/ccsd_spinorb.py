@@ -197,6 +197,11 @@ class HybridConsts(NamedTuple):
     oovo_ijb_m_dig: tuple  # A of "ijbm,ma->ijab"
 
 
+# resident-limb budget for the five ovvv-sized prechunks combined (each
+# is 5 bf16 limbs of an o*v^3 operand); above it they digitize in-loop
+_OVVV_LIMB_BYTES = 1.5e9
+
+
 def presplit_consts(v: SpinSlices, kc: int = 64) -> HybridConsts:
     from ..ops.exact_gemm import prechunk_A, prechunk_B
 
@@ -204,6 +209,18 @@ def presplit_consts(v: SpinSlices, kc: int = 64) -> HybridConsts:
     vs = nv // 2
     A, B = slice(0, vs), slice(vs, None)
     no = v.oovv.shape[0]
+    # Each ovvv-family prechunk holds 5 bf16 limbs of an o*v^3 operand:
+    # trivial at pVTZ (~0.1 GB/site) but ~1.9 GB/site at the 116-bf
+    # spin-orbital dimer (o=20, v=212) — five sites = 9.6 GB of resident
+    # limbs, which is what OOM'd the first dimer spin-orbital solve
+    # (21.7 GB reserved vs 15.75).  Above the budget those sites keep
+    # B_pre=None and digitize IN-LOOP instead (transient, reused by
+    # XLA's scheduler, at the same L=5 depth via the call sites).
+    big = no * nv**3 * 2 * 5 > _OVVV_LIMB_BYTES
+
+    def unless_big(pre_fn, build_operand):
+        return None if big else pre_fn(build_operand(), L=5)
+
     if v.vvvv_blocks is not None:
         # block-compressed vvvv: bb == aa for closed shells in block
         # spin order, so ONE prechunk serves both (saves 1.3 GB of
@@ -224,24 +241,37 @@ def presplit_consts(v: SpinSlices, kc: int = 64) -> HybridConsts:
         vvvv_aa=vvvv_pre[0],
         vvvv_bb=vvvv_pre[1],
         vvvv_ab=vvvv_pre[2],
-        ovvv_ef=prechunk_B(
-            jnp.transpose(v.ovvv, (2, 3, 0, 1)).reshape(nv * nv, no * nv), L=5
+        ovvv_ef=unless_big(
+            prechunk_B,
+            lambda: jnp.transpose(v.ovvv, (2, 3, 0, 1)).reshape(
+                nv * nv, no * nv
+            ),
         ),
         oovv_me=prechunk_A(
             jnp.transpose(v.oovv, (0, 2, 1, 3)).reshape(no * nv, no * nv), L=5
         ),
         oovv_mn_dig=prechunk_A(v.oovv.reshape(no * no, nv * nv), L=5),
-        ovvv_mbe_dig=prechunk_A(v.ovvv.reshape(no * nv * nv, nv), L=5),
-        vovv_e_dig=prechunk_B(v.vovv.reshape(nv, no * nv * nv), L=5),
+        ovvv_mbe_dig=unless_big(
+            prechunk_A, lambda: v.ovvv.reshape(no * nv * nv, nv)
+        ),
+        vovv_e_dig=unless_big(
+            prechunk_B, lambda: v.vovv.reshape(nv, no * nv * nv)
+        ),
         oovv_nef_m_dig=prechunk_B(
             jnp.transpose(v.oovv, (1, 2, 3, 0)).reshape(no * nv * nv, no), L=5
         ),
         oovv_mnf_e_dig=prechunk_B(v.oovv.reshape(no * no * nv, nv), L=5),
-        ovvv_mf_ae_dig=prechunk_B(
-            jnp.transpose(v.ovvv, (0, 2, 1, 3)).reshape(no * nv, nv * nv), L=5
+        ovvv_mf_ae_dig=unless_big(
+            prechunk_B,
+            lambda: jnp.transpose(v.ovvv, (0, 2, 1, 3)).reshape(
+                no * nv, nv * nv
+            ),
         ),
-        ovvv_mfe_a_dig=prechunk_B(
-            jnp.transpose(v.ovvv, (0, 2, 3, 1)).reshape(no * nv * nv, nv), L=5
+        ovvv_mfe_a_dig=unless_big(
+            prechunk_B,
+            lambda: jnp.transpose(v.ovvv, (0, 2, 3, 1)).reshape(
+                no * nv * nv, nv
+            ),
         ),
         ooov_ne_mi_dig=prechunk_B(
             jnp.transpose(v.ooov, (0, 3, 1, 2)).reshape(no * nv, no * no), L=5
@@ -302,6 +332,12 @@ def _g_split(tau, ovvv, consts: HybridConsts | None):
     if consts is None:
         Bm = jnp.transpose(ovvv, (2, 3, 0, 1)).reshape(nv * nv, -1)
         C = split_matmul(tau.reshape(no * no, nv * nv), Bm)
+    elif consts.ovvv_ef is None:
+        # large tier (presplit _OVVV_LIMB_BYTES gate): digitize in-loop
+        from ..ops.exact_gemm import exact_gemm
+
+        Bm = jnp.transpose(ovvv, (2, 3, 0, 1)).reshape(nv * nv, -1)
+        C = exact_gemm(tau.reshape(no * no, nv * nv), Bm, L=5, maxdeg=6)
     else:
         from ..ops.exact_gemm import exact_gemm
 
@@ -373,7 +409,7 @@ def _iteration_core(
     if dig:
         F_vv = exact_einsum(
             "mf,mafe->ae", t1, v.ovvv, B_pre=consts.ovvv_mf_ae_dig,
-            maxdeg=6,
+            L=5, maxdeg=6,
         ) + 0.5 * exact_einsum(
             "mnaf,mnfe->ae", tau_tilde, v.oovv, B_pre=consts.oovv_mnf_e_dig,
             maxdeg=6,
@@ -454,7 +490,7 @@ def _iteration_core(
         + (
             exact_einsum(
                 "mbef,jf->mbej", v.ovvv, t1, A_pre=consts.ovvv_mbe_dig,
-                maxdeg=6,
+                L=5, maxdeg=6,
             )
             if dig else hs("mbef,jf->mbej", v.ovvv, t1)
         )
@@ -477,7 +513,7 @@ def _iteration_core(
         + 0.5 * (
             exact_einsum(
                 "mife,mafe->ia", t2, v.ovvv, B_pre=consts.ovvv_mfe_a_dig,
-                maxdeg=6,
+                L=5, maxdeg=6,
             )
             if dig else bs("mife,mafe->ia", t2, v.ovvv)
         )
@@ -510,7 +546,7 @@ def _iteration_core(
     tmp_t2 -= 0.5 * (s - jnp.transpose(s, (1, 0, 2, 3)))
     s = (
         exact_einsum("ie,ejab->ijab", t1, v.vovv,
-                     B_pre=consts.vovv_e_dig, maxdeg=6)
+                     B_pre=consts.vovv_e_dig, L=5, maxdeg=6)
         if dig else hs("ie,ejab->ijab", t1, v.vovv)
     )
     tmp_t2 += s - jnp.transpose(s, (1, 0, 2, 3))
