@@ -28,7 +28,11 @@ def _spin_problem(seed=0, no_sp=2, nv_sp=4):
     eri = eri + eri.transpose(2, 3, 0, 1)
     eri = jnp.asarray(eri)
     slices = SpinSlices(
-        *(spinorb_slice(eri, b, no_sp) for b in SpinSlices._fields)
+        *(
+            spinorb_slice(eri, b, no_sp)
+            for b in SpinSlices._fields
+            if b != "vvvv_blocks"  # optional block-compressed form
+        )
     )
     t1 = jnp.asarray(spin_expand_t1(rng.standard_normal((no_sp, nv_sp)) * 0.05))
     t2sp = rng.standard_normal((no_sp, no_sp, nv_sp, nv_sp)) * 0.05
