@@ -74,9 +74,11 @@ def collect(workloads: list[str]) -> None:
         else:
             raise SystemExit(f"unknown workload {w!r}")
 
+    # on-disk entry name = "<key>-cache"
     existing = {p.name for p in CACHE.iterdir()}
-    keys = sorted(k for k in col.keys if k in existing)
-    missing = sorted(k for k in col.keys if k not in existing)
+    names = {k if k in existing else k + "-cache" for k in col.keys}
+    keys = sorted(k for k in names if k in existing)
+    missing = sorted(k for k in names if k not in existing)
     prev = json.loads(KEEP.read_text())["keep"] if KEEP.exists() else []
     keep = sorted(set(prev) | set(keys))
     KEEP.write_text(json.dumps(
